@@ -1,0 +1,126 @@
+"""Pallas kernels vs XLA oracles (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcm_tpu.ops import (
+    attention_reference,
+    flash_attention,
+    geglu,
+    geglu_reference,
+    group_norm_silu,
+    group_norm_silu_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,h,d",
+    [
+        (2, 64, 64, 2, 40),     # SD1.5-ish self-attn head_dim
+        (1, 128, 77, 4, 64),    # cross-attn with CLIP context
+        (2, 77, 77, 4, 64),     # text-encoder self-attn
+        (1, 260, 260, 2, 128),  # non-multiple seq
+    ],
+)
+def test_flash_attention_forward(b, sq, sk, h, d):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
+    out = flash_attention(q, k, v)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_bf16():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 64, 2, 64), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(1, 64, 2, 64), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(1, 64, 2, 64), jnp.bfloat16)
+    out = flash_attention(q, k, v)
+    ref = attention_reference(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_flash_attention_grad():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 40, 2, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 56, 2, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 56, 2, 32), jnp.float32)
+
+    def f(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v)))
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3, err_msg=f"d{name}"
+        )
+
+
+@pytest.mark.parametrize(
+    "shape,groups",
+    [((2, 8, 8, 64), 32), ((1, 17, 96), 32), ((2, 5, 7, 320), 32)],
+)
+def test_group_norm_silu(shape, groups):
+    rng = np.random.RandomState(3)
+    c = shape[-1]
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    gamma = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.randn(c), jnp.float32)
+    out = group_norm_silu(x, gamma, beta, groups)
+    ref = group_norm_silu_reference(x, gamma, beta, groups)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_group_norm_silu_no_act_and_grad():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 6, 64), jnp.float32)
+    gamma = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.randn(64), jnp.float32)
+    out = group_norm_silu(x, gamma, beta, 16, act=None)
+    ref = group_norm_silu_reference(x, gamma, beta, 16, act=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def f(x, gamma, beta):
+        return jnp.sum(group_norm_silu(x, gamma, beta, 16) ** 2)
+
+    def f_ref(x, gamma, beta):
+        return jnp.sum(group_norm_silu_reference(x, gamma, beta, 16) ** 2)
+
+    g = jax.grad(f, argnums=(0, 1, 2))(x, gamma, beta)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("m,k,f", [(32, 64, 128), (17, 96, 200)])
+def test_geglu(m, k, f):
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, m, k), jnp.float32)
+    w = jnp.asarray(rng.randn(k, 2 * f) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(2 * f) * 0.1, jnp.float32)
+    out = geglu(x, w, b)
+    ref = geglu_reference(x, w, b)
+    assert out.shape == (2, m, f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def loss(x, w, b):
+        return jnp.sum(geglu(x, w, b) ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(geglu_reference(x, w, b) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
