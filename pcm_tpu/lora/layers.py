@@ -86,11 +86,13 @@ class LoRADense(nn.Module):
             a = self.variable(
                 "lora",
                 "a",
-                nn.initializers.normal(stddev=1.0 / r),
-                None,
-                (in_features, r),
+                lambda: nn.initializers.normal(stddev=1.0 / r)(
+                    self.make_rng("params"), (in_features, r)
+                ),
             ).value
-            b = self.variable("lora", "b", nn.initializers.zeros, None, (r, self.features)).value
+            b = self.variable(
+                "lora", "b", lambda: jnp.zeros((r, self.features), jnp.float32)
+            ).value
             y = y + self.lora.scale * jnp.dot(jnp.dot(x, a.astype(dtype)), b.astype(dtype))
         if bias is not None:
             y = y + bias.astype(dtype)
@@ -145,12 +147,12 @@ class LoRAConv(nn.Module):
             a = self.variable(
                 "lora",
                 "a",
-                nn.initializers.normal(stddev=1.0 / r),
-                None,
-                (kh, kw, in_features, r),
+                lambda: nn.initializers.normal(stddev=1.0 / r)(
+                    self.make_rng("params"), (kh, kw, in_features, r)
+                ),
             ).value
             b = self.variable(
-                "lora", "b", nn.initializers.zeros, None, (1, 1, r, self.features)
+                "lora", "b", lambda: jnp.zeros((1, 1, r, self.features), jnp.float32)
             ).value
             y = y + self.lora.scale * conv(conv(x, a, self.strides), b, (1, 1), "VALID")
         if bias is not None:
