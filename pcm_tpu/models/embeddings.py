@@ -58,12 +58,13 @@ class PixArtAlphaTextProjection(nn.Module):
 
     hidden_size: int
     dtype: jnp.dtype = jnp.float32
+    lora: LoRASpec = NO_LORA
 
     @nn.compact
     def __call__(self, caption: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear_1")(caption)
+        h = LoRADense(self.hidden_size, dtype=self.dtype, lora=self.lora, name="linear_1")(caption)
         h = nn.silu(h)
-        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear_2")(h)
+        h = LoRADense(self.hidden_size, dtype=self.dtype, lora=self.lora, name="linear_2")(h)
         return h
 
 
@@ -74,18 +75,22 @@ class PatchEmbed(nn.Module):
     embed_dim: int = 1536
     pos_embed_max_size: int = 192
     dtype: jnp.dtype = jnp.float32
+    lora: LoRASpec = NO_LORA
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (N, H, W, C)
+        from ..lora.layers import LoRAConv
+
         n, h, w, _ = x.shape
         p = self.patch_size
-        proj = nn.Conv(
+        proj = LoRAConv(
             self.embed_dim,
             kernel_size=(p, p),
             strides=(p, p),
             padding="VALID",
             dtype=self.dtype,
+            lora=self.lora,
             name="proj",
         )(x)
         hp, wp = h // p, w // p

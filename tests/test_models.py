@@ -95,3 +95,41 @@ def test_vae_roundtrip_shapes():
     assert float(jnp.max(jnp.abs(z - z2))) > 0
     rec = m.apply(vars_, z, method=AutoencoderKL.decode)
     assert rec.shape == (1, 32, 32, 3)
+
+
+def test_mmdit_forward_features_lora():
+    from pcm_tpu.models.mmdit import (
+        MMDiT,
+        SD3_ADV_LORA_TARGETS,
+        TINY_MMDIT_CONFIG,
+    )
+
+    lora = LoRASpec(rank=4, targets=SD3_ADV_LORA_TARGETS)
+    m = MMDiT(TINY_MMDIT_CONFIG, lora=lora)
+    x = jnp.ones((2, 16, 16, 4))
+    t = jnp.asarray([10.0, 700.0])
+    ctx = jnp.ones((2, 10, 32))
+    pooled = jnp.ones((2, 32))
+    vars_ = m.init(jax.random.PRNGKey(0), x, t, ctx, pooled)
+    out, feats = m.apply(vars_, x, t, ctx, pooled, mutable=["features"])
+    assert out.shape == (2, 16, 16, 4)
+    assert set(feats["features"].keys()) == {"block_0", "block_1"}
+    # image-token features: (N, (H/p)*(W/p), inner)
+    assert feats["features"]["block_0"][0].shape == (2, 64, 32)
+
+    def loss(l):
+        return jnp.sum(m.apply({"params": vars_["params"], "lora": l}, x, t, ctx, pooled) ** 2)
+
+    g = jax.grad(loss)(vars_["lora"])
+    n_checked = 0
+    for p, v in jax.tree_util.tree_leaves_with_path(g):
+        key = jax.tree_util.keystr(p)
+        if not key.endswith("['b']"):
+            continue
+        # the final (context_pre_only) block discards the context attention
+        # output, so its add_q_proj is structurally dead — same as diffusers
+        if "transformer_blocks_1" in key and "add_q_proj" in key:
+            continue
+        n_checked += 1
+        assert float(jnp.sum(jnp.abs(v))) > 0, f"zero grad for {key}"
+    assert n_checked > 10
