@@ -1,0 +1,306 @@
+"""Model bundles: per-family glue between raw modules and the distill step.
+
+A bundle owns the flax module instances (student with LoRA spec, the same
+architecture without LoRA for teacher/frozen passes, VAE, text encoders) and
+exposes a uniform functional surface:
+
+    encode(frozen, batch, rng)        -> (latents, cond, uncond_cond)
+    student(frozen, lora, x, t, cond) -> model prediction
+    teacher(frozen, x, t, cond)       -> model prediction (no LoRA)
+    teacher_features(frozen, x, t, cond) -> per-block features (discriminator)
+
+``frozen`` is the dict of frozen parameter trees (base model, vae, text
+towers), kept outside TrainState so it is never touched by the optimizer.
+
+Text/vae encoding runs inside the jitted train step exactly like the
+reference's hot loop (`train_pcm_lora_sd15.py:1121-1135`) — one XLA program
+per step, no eager islands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..lora.layers import LoRASpec, NO_LORA
+from ..models.clip import CLIPTextConfig, CLIPTextModel
+from ..models.mmdit import MMDiT, MMDiTConfig
+from ..models.t5 import T5Config, T5Encoder
+from ..models.unet import UNet2DCondition, UNetConfig
+from ..models.vae import AutoencoderKL, VAEConfig
+
+# LoRA target list mirroring the reference SD1.5/SDXL peft config
+# (`train_pcm_lora_sd15.py:866-885`).
+SD_UNET_LORA_TARGETS = (
+    "to_q", "to_k", "to_v", "to_out_0", "proj_in", "proj_out",
+    "net_0_proj", "net_2", "conv1", "conv2", "conv_shortcut",
+    "downsamplers_0/conv", "upsamplers_0/conv", "time_emb_proj",
+    "conv_in", "conv_out",
+)
+
+
+Cond = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SD15Bundle:
+    """SD1.5: single CLIP-L, last hidden state conditioning."""
+
+    unet_cfg: UNetConfig
+    vae_cfg: VAEConfig
+    text_cfg: CLIPTextConfig
+    lora: LoRASpec
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        object.__setattr__(self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora))
+        object.__setattr__(self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA))
+        object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
+        object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
+
+    # -- init -------------------------------------------------------------
+    def init(self, rng, image_size: int, seq_len: int = 77):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        latent = image_size // 8
+        x = jnp.zeros((1, latent, latent, self.unet_cfg.in_channels), self.dtype)
+        t = jnp.zeros((1,))
+        ctx = jnp.zeros((1, seq_len, self.unet_cfg.cross_attention_dim), self.dtype)
+        uvars = jax.jit(self._student.init)(r1, x, t, ctx)
+        vvars = jax.jit(self._vae.init)(r2, jnp.zeros((1, image_size, image_size, 3), self.dtype))
+        tvars = jax.jit(self._text.init)(r3, jnp.zeros((1, seq_len), jnp.int32))
+        frozen = {
+            "unet": uvars["params"],
+            "vae": vvars["params"],
+            "text": tvars["params"],
+        }
+        return frozen, uvars["lora"]
+
+    # -- encoding ---------------------------------------------------------
+    def encode_prompts(self, frozen, input_ids) -> Cond:
+        _, last, _ = self._text.apply({"params": frozen["text"]}, input_ids)
+        return {"prompt_embeds": last, "added_cond": None}
+
+    def decode_latents(self, frozen, latents) -> jnp.ndarray:
+        return self._vae.apply(
+            {"params": frozen["vae"]}, latents, method=AutoencoderKL.decode
+        )
+
+    def encode(self, frozen, batch, rng) -> Tuple[jnp.ndarray, Cond, Cond]:
+        _, last, _ = self._text.apply({"params": frozen["text"]}, batch["input_ids"])
+        prompt_embeds = jax.lax.stop_gradient(last)
+        latents = self._vae.apply(
+            {"params": frozen["vae"]}, batch["pixel_values"], rng,
+            method=AutoencoderKL.encode,
+        )
+        latents = jax.lax.stop_gradient(latents)
+        cond = {"prompt_embeds": prompt_embeds, "added_cond": None}
+        uncond = {"prompt_embeds": batch["uncond_embeds"], "added_cond": None}
+        return latents, cond, uncond
+
+    # -- forwards ---------------------------------------------------------
+    def student(self, frozen, lora, x, t, cond):
+        return self._student.apply(
+            {"params": frozen["unet"], "lora": lora}, x, t, cond["prompt_embeds"],
+            cond["added_cond"],
+        )
+
+    def teacher(self, frozen, x, t, cond):
+        return self._teacher.apply(
+            {"params": frozen["unet"]}, x, t, cond["prompt_embeds"], cond["added_cond"]
+        )
+
+    def teacher_features(self, frozen, x, t, cond):
+        _, feats = self._teacher.apply(
+            {"params": frozen["unet"]}, x, t, cond["prompt_embeds"], cond["added_cond"],
+            mutable=["features"],
+        )
+        return {k: v[0] for k, v in feats["features"].items()}
+
+
+@dataclasses.dataclass(frozen=True)
+class SDXLBundle:
+    """SDXL: dual CLIP (penultimate hidden concat) + pooled te2 + time_ids."""
+
+    unet_cfg: UNetConfig
+    vae_cfg: VAEConfig
+    text_cfg: CLIPTextConfig  # te1 (CLIP-L)
+    text2_cfg: CLIPTextConfig  # te2 (bigG, with projection)
+    lora: LoRASpec
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        object.__setattr__(self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora))
+        object.__setattr__(self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA))
+        object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
+        object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
+        object.__setattr__(self, "_text2", CLIPTextModel(self.text2_cfg, self.dtype))
+
+    def init(self, rng, image_size: int, seq_len: int = 77):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        latent = image_size // 8
+        d = self.unet_cfg.cross_attention_dim
+        x = jnp.zeros((1, latent, latent, self.unet_cfg.in_channels), self.dtype)
+        t = jnp.zeros((1,))
+        ctx = jnp.zeros((1, seq_len, d), self.dtype)
+        added = {
+            "text_embeds": jnp.zeros((1, self.text2_cfg.projection_dim), self.dtype),
+            "time_ids": jnp.zeros((1, 6)),
+        }
+        uvars = jax.jit(self._student.init)(r1, x, t, ctx, added)
+        vvars = jax.jit(self._vae.init)(r2, jnp.zeros((1, image_size, image_size, 3), self.dtype))
+        tvars = jax.jit(self._text.init)(r3, jnp.zeros((1, seq_len), jnp.int32))
+        t2vars = jax.jit(self._text2.init)(r4, jnp.zeros((1, seq_len), jnp.int32))
+        frozen = {
+            "unet": uvars["params"],
+            "vae": vvars["params"],
+            "text": tvars["params"],
+            "text2": t2vars["params"],
+        }
+        return frozen, uvars["lora"]
+
+    def encode_prompts(self, frozen, input_ids, input_ids_2, time_ids) -> Cond:
+        hidden1, _, _ = self._text.apply({"params": frozen["text"]}, input_ids)
+        hidden2, _, pooled2 = self._text2.apply({"params": frozen["text2"]}, input_ids_2)
+        prompt_embeds = jnp.concatenate([hidden1[-2], hidden2[-2]], axis=-1)
+        return {
+            "prompt_embeds": prompt_embeds,
+            "added_cond": {"text_embeds": pooled2, "time_ids": time_ids},
+        }
+
+    def decode_latents(self, frozen, latents) -> jnp.ndarray:
+        return self._vae.apply(
+            {"params": frozen["vae"]}, latents, method=AutoencoderKL.decode
+        )
+
+    def encode(self, frozen, batch, rng):
+        hidden1, _, _ = self._text.apply({"params": frozen["text"]}, batch["input_ids"])
+        hidden2, _, pooled2 = self._text2.apply({"params": frozen["text2"]}, batch["input_ids_2"])
+        # penultimate hidden states, concat on feature dim (sdxl train:770-809)
+        prompt_embeds = jnp.concatenate([hidden1[-2], hidden2[-2]], axis=-1)
+        prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
+        pooled2 = jax.lax.stop_gradient(pooled2)
+        latents = self._vae.apply(
+            {"params": frozen["vae"]}, batch["pixel_values"], rng,
+            method=AutoencoderKL.encode,
+        )
+        latents = jax.lax.stop_gradient(latents)
+        cond = {
+            "prompt_embeds": prompt_embeds,
+            "added_cond": {"text_embeds": pooled2, "time_ids": batch["time_ids"]},
+        }
+        # zero uncond embeds + zero pooled, same time_ids (sdxl train:1216-1221)
+        uncond = {
+            "prompt_embeds": jnp.zeros_like(prompt_embeds),
+            "added_cond": {
+                "text_embeds": jnp.zeros_like(pooled2),
+                "time_ids": batch["time_ids"],
+            },
+        }
+        return latents, cond, uncond
+
+    student = SD15Bundle.student
+    teacher = SD15Bundle.teacher
+    teacher_features = SD15Bundle.teacher_features
+
+
+@dataclasses.dataclass(frozen=True)
+class SD3Bundle:
+    """SD3: dual CLIP pooled concat + (CLIP-concat padded to T5 width, seq
+    concat with T5) context (`train_pcm_lora_sd3.py:772-814`)."""
+
+    mmdit_cfg: MMDiTConfig
+    vae_cfg: VAEConfig
+    text_cfg: CLIPTextConfig  # CLIP-L w/ projection
+    text2_cfg: CLIPTextConfig  # bigG w/ projection
+    t5_cfg: T5Config
+    lora: LoRASpec
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        object.__setattr__(self, "_student", MMDiT(self.mmdit_cfg, self.dtype, self.lora))
+        object.__setattr__(self, "_teacher", MMDiT(self.mmdit_cfg, self.dtype, NO_LORA))
+        object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
+        object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
+        object.__setattr__(self, "_text2", CLIPTextModel(self.text2_cfg, self.dtype))
+        object.__setattr__(self, "_t5", T5Encoder(self.t5_cfg, self.dtype))
+
+    def init(self, rng, image_size: int, seq_len: int = 77):
+        r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+        latent = image_size // 8
+        x = jnp.zeros((1, latent, latent, self.mmdit_cfg.in_channels), self.dtype)
+        t = jnp.zeros((1,))
+        ctx = jnp.zeros((1, 2 * seq_len, self.mmdit_cfg.joint_attention_dim), self.dtype)
+        pooled = jnp.zeros((1, self.mmdit_cfg.pooled_projection_dim), self.dtype)
+        uvars = jax.jit(self._student.init)(r1, x, t, ctx, pooled)
+        vvars = jax.jit(self._vae.init)(r2, jnp.zeros((1, image_size, image_size, 3), self.dtype))
+        tvars = jax.jit(self._text.init)(r3, jnp.zeros((1, seq_len), jnp.int32))
+        t2vars = jax.jit(self._text2.init)(r4, jnp.zeros((1, seq_len), jnp.int32))
+        t5vars = jax.jit(self._t5.init)(r5, jnp.zeros((1, seq_len), jnp.int32))
+        frozen = {
+            "mmdit": uvars["params"],
+            "vae": vvars["params"],
+            "text": tvars["params"],
+            "text2": t2vars["params"],
+            "t5": t5vars["params"],
+        }
+        return frozen, uvars["lora"]
+
+    def _encode_prompt(self, frozen, ids1, ids2, ids3):
+        h1, _, p1 = self._text.apply({"params": frozen["text"]}, ids1)
+        h2, _, p2 = self._text2.apply({"params": frozen["text2"]}, ids2)
+        clip_seq = jnp.concatenate([h1[-2], h2[-2]], axis=-1)
+        pooled = jnp.concatenate([p1, p2], axis=-1)
+        t5_seq = self._t5.apply({"params": frozen["t5"]}, ids3)
+        pad = self.mmdit_cfg.joint_attention_dim - clip_seq.shape[-1]
+        clip_seq = jnp.pad(clip_seq, ((0, 0), (0, 0), (0, pad)))
+        prompt_embeds = jnp.concatenate([clip_seq, t5_seq.astype(clip_seq.dtype)], axis=1)
+        return prompt_embeds, pooled
+
+    def encode_prompts(self, frozen, input_ids, input_ids_2, input_ids_3) -> Cond:
+        prompt_embeds, pooled = self._encode_prompt(frozen, input_ids, input_ids_2, input_ids_3)
+        return {"prompt_embeds": prompt_embeds, "pooled": pooled}
+
+    def decode_latents(self, frozen, latents) -> jnp.ndarray:
+        return self._vae.apply(
+            {"params": frozen["vae"]}, latents, method=AutoencoderKL.decode
+        )
+
+    def encode(self, frozen, batch, rng):
+        prompt_embeds, pooled = self._encode_prompt(
+            frozen, batch["input_ids"], batch["input_ids_2"], batch["input_ids_3"]
+        )
+        prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
+        pooled = jax.lax.stop_gradient(pooled)
+        # SD3 keeps the VAE in fp32 (`train_pcm_lora_sd3.py:954`)
+        latents = self._vae.apply(
+            {"params": frozen["vae"]}, batch["pixel_values"], rng,
+            method=AutoencoderKL.encode,
+        )
+        latents = jax.lax.stop_gradient(latents)
+        cond = {"prompt_embeds": prompt_embeds, "pooled": pooled}
+        uncond = {
+            "prompt_embeds": batch["uncond_embeds"],
+            "pooled": batch["uncond_pooled"],
+        }
+        return latents, cond, uncond
+
+    def student(self, frozen, lora, x, t, cond):
+        return self._student.apply(
+            {"params": frozen["mmdit"], "lora": lora}, x, t,
+            cond["prompt_embeds"], cond["pooled"],
+        )
+
+    def teacher(self, frozen, x, t, cond):
+        return self._teacher.apply(
+            {"params": frozen["mmdit"]}, x, t, cond["prompt_embeds"], cond["pooled"]
+        )
+
+    def teacher_features(self, frozen, x, t, cond):
+        _, feats = self._teacher.apply(
+            {"params": frozen["mmdit"]}, x, t, cond["prompt_embeds"], cond["pooled"],
+            mutable=["features"],
+        )
+        return {k: v[0] for k, v in feats["features"].items()}
