@@ -1,0 +1,127 @@
+"""Production model-family bundle constructors (mirror the reference's three
+teacher families) plus the six training recipes from the reference shell
+scripts (SURVEY.md §2 #22, BASELINE.md)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..lora.layers import LoRASpec
+from ..models.clip import CLIP_BIG_G_CONFIG, CLIP_L_CONFIG
+from ..models.mmdit import SD3_ADV_LORA_TARGETS, SD3_LORA_TARGETS, SD3_MEDIUM_CONFIG
+from ..models.t5 import T5_XXL_CONFIG
+from ..models.unet import SD15_CONFIG, SDXL_CONFIG
+from ..models.vae import SD3_VAE_CONFIG, SD15_VAE_CONFIG, SDXL_VAE_CONFIG
+from ..train.bundles import SD3Bundle, SD15Bundle, SDXLBundle, SD_UNET_LORA_TARGETS
+from ..train.distill import DistillConfig
+
+
+def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True) -> SD15Bundle:
+    return SD15Bundle(
+        unet_cfg=SD15_CONFIG,
+        vae_cfg=SD15_VAE_CONFIG,
+        text_cfg=CLIP_L_CONFIG,
+        lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=SD_UNET_LORA_TARGETS),
+        dtype=dtype,
+        remat=remat,
+    )
+
+
+def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True) -> SDXLBundle:
+    return SDXLBundle(
+        unet_cfg=SDXL_CONFIG,
+        vae_cfg=SDXL_VAE_CONFIG,
+        text_cfg=CLIP_L_CONFIG,
+        text2_cfg=CLIP_BIG_G_CONFIG,
+        lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=SD_UNET_LORA_TARGETS),
+        dtype=dtype,
+        remat=remat,
+    )
+
+
+def sd3_bundle(
+    lora_rank: int = 32, dtype=jnp.bfloat16, remat: bool = True, adv_targets: bool = False
+) -> SD3Bundle:
+    clip_l = dataclasses.replace(CLIP_L_CONFIG, projection_dim=768)
+    return SD3Bundle(
+        mmdit_cfg=SD3_MEDIUM_CONFIG,
+        vae_cfg=SD3_VAE_CONFIG,
+        text_cfg=clip_l,
+        text2_cfg=CLIP_BIG_G_CONFIG,
+        t5_cfg=T5_XXL_CONFIG,
+        lora=LoRASpec(
+            rank=lora_rank,
+            alpha=8.0,
+            targets=SD3_ADV_LORA_TARGETS if adv_targets else SD3_LORA_TARGETS,
+        ),
+        dtype=dtype,
+        remat=remat,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The six reference recipes (shell-script configs, BASELINE.md table).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Recipe:
+    name: str
+    family: str  # sd15 | sdxl | sd3
+    resolution: int
+    batch_per_chip: int
+    max_steps: int
+    lr: float
+    distill: DistillConfig
+    lora_rank: int
+    adversarial: bool = False
+    adv_lr: float = 1e-5
+    adv_weight: float = 0.1
+    proportion_empty_prompts: float = 0.0
+
+
+RECIPES = {
+    # train_pcm_lora_sd15.sh:5-29
+    "sd15_4phase": Recipe(
+        "sd15_4phase", "sd15", 512, 20, 5000, 5e-6,
+        DistillConfig(num_solver_steps=50, multiphase=4, w_min=4, w_max=5),
+        lora_rank=64,
+    ),
+    # train_pcm_lora_sd15.sh:41-67 (no CFG solver, 10% prompt dropout)
+    "sd15_4phase_nocfg": Recipe(
+        "sd15_4phase_nocfg", "sd15", 512, 20, 5000, 5e-6,
+        DistillConfig(num_solver_steps=50, multiphase=4, not_apply_cfg_solver=True),
+        lora_rank=64, proportion_empty_prompts=0.1,
+    ),
+    # train_pcm_lora_sd15.sh:78-104 (2-phase adversarial)
+    "sd15_2phase_adv": Recipe(
+        "sd15_2phase_adv", "sd15", 512, 20, 10000, 5e-6,
+        DistillConfig(num_solver_steps=50, multiphase=2, w_min=4, w_max=5),
+        lora_rank=64, adversarial=True,
+    ),
+    # train_pcm_lora_sdxl.sh:9-37
+    "sdxl_4phase_adv": Recipe(
+        "sdxl_4phase_adv", "sdxl", 1024, 10, 20000, 2e-6,
+        DistillConfig(num_solver_steps=40, multiphase=4, w_min=6, w_max=7),
+        lora_rank=64, adversarial=True,
+    ),
+    # run.sh:7-95 (SD3, phases 1/2/4, fixed w=3)
+    "sd3_1phase_adv": Recipe(
+        "sd3_1phase_adv", "sd3", 1024, 2, 20000, 5e-6,
+        DistillConfig(num_solver_steps=100, multiphase=1, fixed_w=3.0),
+        lora_rank=32, adversarial=True,
+    ),
+    "sd3_2phase_adv": Recipe(
+        "sd3_2phase_adv", "sd3", 1024, 2, 20000, 5e-6,
+        DistillConfig(num_solver_steps=100, multiphase=2, fixed_w=3.0),
+        lora_rank=32, adversarial=True,
+    ),
+    "sd3_4phase_adv": Recipe(
+        "sd3_4phase_adv", "sd3", 1024, 2, 20000, 5e-6,
+        DistillConfig(num_solver_steps=100, multiphase=4, fixed_w=3.0),
+        lora_rank=32, adversarial=True,
+    ),
+}

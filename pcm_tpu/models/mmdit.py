@@ -177,6 +177,7 @@ class MMDiT(nn.Module):
     cfg: MMDiTConfig = SD3_MEDIUM_CONFIG
     dtype: jnp.dtype = jnp.float32
     lora: LoRASpec = NO_LORA
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -207,8 +208,9 @@ class MMDiT(nn.Module):
             cfg.inner_dim, dtype=self.dtype, lora=self.lora, name="context_embedder"
         )(encoder_hidden_states.astype(self.dtype))
 
+        Block = nn.remat(JointTransformerBlock) if self.remat else JointTransformerBlock
         for i in range(cfg.num_layers):
-            x, context = JointTransformerBlock(
+            x, context = Block(
                 cfg,
                 context_pre_only=(i == cfg.num_layers - 1),
                 dtype=self.dtype,

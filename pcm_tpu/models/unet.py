@@ -89,6 +89,7 @@ class UNet2DCondition(nn.Module):
     cfg: UNetConfig = SD15_CONFIG
     dtype: jnp.dtype = jnp.float32
     lora: LoRASpec = NO_LORA
+    remat: bool = False  # rematerialize resnet/transformer blocks (1024px memory)
 
     @nn.compact
     def __call__(
@@ -98,10 +99,13 @@ class UNet2DCondition(nn.Module):
         encoder_hidden_states: jnp.ndarray,  # (N, S, D)
         added_cond: Optional[Dict[str, jnp.ndarray]] = None,
         # SDXL: {"text_embeds": (N, 1280), "time_ids": (N, 6)}
+        stop_after_mid: bool = False,  # feature-extraction mode (discriminator)
     ) -> jnp.ndarray:
         cfg = self.cfg
         lora = self.lora
         ch0 = cfg.block_out_channels[0]
+        Resnet = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
+        Transformer = nn.remat(Transformer2D) if self.remat else Transformer2D
 
         # --- time embedding (fp32 sinusoid, then model dtype MLP) ---
         t_emb = sinusoidal_embedding(timesteps, ch0).astype(self.dtype)
@@ -131,12 +135,12 @@ class UNet2DCondition(nn.Module):
         for level, ch in enumerate(cfg.block_out_channels):
             prefix = f"down_blocks_{level}"
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(
+                h = Resnet(
                     ch, cfg.norm_groups, dtype=self.dtype, lora=lora,
                     name=f"{prefix}_resnets_{j}",
                 )(h, temb)
                 if cfg.attn_blocks[level]:
-                    h = Transformer2D(
+                    h = Transformer(
                         ch,
                         cfg.num_heads[level],
                         ch // cfg.num_heads[level],
@@ -156,10 +160,10 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(
+        h = Resnet(
             ch, cfg.norm_groups, dtype=self.dtype, lora=lora, name="mid_block_resnets_0"
         )(h, temb)
-        h = Transformer2D(
+        h = Transformer(
             ch,
             cfg.num_heads[-1],
             ch // cfg.num_heads[-1],
@@ -171,7 +175,7 @@ class UNet2DCondition(nn.Module):
             lora=lora,
             name="mid_block_attentions_0",
         )(h, context)
-        h = ResnetBlock2D(
+        h = Resnet(
             ch, cfg.norm_groups, dtype=self.dtype, lora=lora, name="mid_block_resnets_1"
         )(h, temb)
         self.sow("features", "mid", h)
@@ -183,12 +187,12 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock2D(
+                h = Resnet(
                     ch, cfg.norm_groups, dtype=self.dtype, lora=lora,
                     name=f"{prefix}_resnets_{j}",
                 )(h, temb)
                 if cfg.attn_blocks[level]:
-                    h = Transformer2D(
+                    h = Transformer(
                         ch,
                         cfg.num_heads[level],
                         ch // cfg.num_heads[level],

@@ -1,0 +1,285 @@
+"""Adversarial consistency training: discriminator heads + alternating steps.
+
+Discriminator = frozen teacher backbone run in feature-capture mode + small
+trainable conv heads with hinge losses, mirroring the reference
+(`discriminator_sd15.py`: 9 taps (4 down + mid + 4 up), 3x3 heads,
+num_h_per_head=4; `discriminator_sdxl.py`: down+mid only, 1x1 heads;
+`discriminator_sd3.py`: all 24 MMDiT blocks reshaped to a spatial grid).
+
+The D/G alternation becomes two separately-jitted step functions called on
+alternating batches — same effective math as the reference's
+``global_step % 2`` branch (`train_pcm_lora_sd15_adv.py:1374-1431`), with
+each parity running the full data+teacher pipeline on a fresh batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.losses import consistency_loss, hinge_d_loss, hinge_g_loss
+from ..core.schedule import DDPMSchedule, FlowSchedule, _bcast
+from ..core.solver import PhasedDDIMSolver, PhasedEulerSolver, phase_boundaries
+from ..models.normalization import GroupNorm
+from .distill import (
+    DistillConfig,
+    _apply_updates,
+    _grad_norm,
+    ddim_model_pred,
+    ddim_prepare,
+    flow_model_pred,
+    flow_prepare,
+)
+from .state import TrainState
+
+
+class DiscriminatorHead(nn.Module):
+    """conv(+GN32+LeakyReLU) x2 with residual, then 1x1 conv -> 1 logit map.
+    (`discriminator_sd15.py:348-368`; SDXL/SD3 use 1x1 convs)."""
+
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        k = (self.kernel, self.kernel)
+        pad = "SAME" if self.kernel > 1 else "VALID"
+        h = nn.Conv(c, k, padding=pad, dtype=self.dtype, name="conv1")(x)
+        h = GroupNorm(32, act=None, dtype=self.dtype, name="norm1")(h)
+        h = nn.leaky_relu(h, 0.01)
+        h2 = nn.Conv(c, k, padding=pad, dtype=self.dtype, name="conv2")(h)
+        h2 = GroupNorm(32, act=None, dtype=self.dtype, name="norm2")(h2)
+        h2 = nn.leaky_relu(h2, 0.01)
+        h = h2 + h
+        return nn.Conv(1, (1, 1), padding="VALID", dtype=self.dtype, name="conv_out")(h)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    taps: Tuple[str, ...]  # ordered feature keys from the backbone's sow
+    num_h_per_head: int = 1
+    kernel: int = 1
+
+
+SD15_DISC_CONFIG = DiscriminatorConfig(
+    taps=("down_0", "down_1", "down_2", "down_3", "mid", "up_0", "up_1", "up_2", "up_3"),
+    num_h_per_head=4,
+    kernel=3,
+)
+SDXL_DISC_CONFIG = DiscriminatorConfig(
+    taps=("down_0", "down_1", "down_2", "mid"), num_h_per_head=1, kernel=1
+)
+SD3_DISC_CONFIG = DiscriminatorConfig(
+    taps=tuple(f"block_{i}" for i in range(24)), num_h_per_head=1, kernel=1
+)
+
+
+class Discriminator(nn.Module):
+    """Trainable heads over frozen-backbone features."""
+
+    cfg: DiscriminatorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]):
+        outputs = []
+        for i, tap in enumerate(self.cfg.taps):
+            f = features[tap].astype(self.dtype)
+            if f.ndim == 3:  # (B, S, C) seq features -> spatial grid
+                b, s, c = f.shape
+                side = int(round(s**0.5))
+                f = f.reshape(b, side, side, c)
+            for j in range(self.cfg.num_h_per_head):
+                outputs.append(
+                    DiscriminatorHead(self.cfg.kernel, self.dtype, name=f"head_{i}_{j}")(f)
+                )
+        return outputs
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvConfig:
+    adv_weight: float = 0.1
+
+
+# ---------------------------------------------------------------------------
+# epsilon / DDIM family adversarial steps
+# ---------------------------------------------------------------------------
+
+
+def build_ddim_adv_steps(
+    bundle,
+    schedule: DDPMSchedule,
+    cfg: DistillConfig,
+    adv: AdvConfig,
+    disc: Discriminator,
+    tx_g,
+    tx_d,
+) -> Tuple[Callable, Callable]:
+    """Returns (g_step, d_step). The training loop alternates them, each on a
+    fresh batch, exactly like the reference's step-parity switch."""
+    solver = PhasedDDIMSolver.create(schedule, cfg.num_solver_steps)
+    boundaries = jnp.asarray(phase_boundaries(cfg.num_solver_steps, cfg.multiphase))
+
+    # SDXL's discriminator taps down+mid only -> skip the up blocks entirely
+    stop_after_mid = not any(t.startswith("up") for t in disc.cfg.taps)
+
+    def g_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, g_state.step)
+        rng, r_adv = jax.random.split(rng)
+        parts = ddim_prepare(
+            bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, batch, rng
+        )
+        r_t, r_fake, _ = jax.random.split(r_adv, 3)
+        bsz = parts["end_t"].shape[0]
+        span = schedule.num_train_timesteps // cfg.multiphase
+        adv_t = jnp.minimum(
+            parts["end_t"] + jax.random.randint(r_t, (bsz,), 0, span),
+            schedule.num_train_timesteps - 1,
+        )
+        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+
+        def loss_fn(lora):
+            model_pred = ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+            cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+            fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
+            feats = bundle.teacher_features(
+                frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+            )
+            logits = disc.apply({"params": d_state.params}, feats)
+            g = hinge_g_loss(logits)
+            return cm + adv.adv_weight * g, (cm, g)
+
+        (loss, (cm, g)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
+        new_state = _apply_updates(g_state, grads, tx_g)
+        return new_state, {"loss": loss, "loss_cm": cm, "g_loss": g, "grad_norm": _grad_norm(grads)}
+
+    def d_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(jax.random.fold_in(rng, d_state.step), 7)
+        rng, r_adv = jax.random.split(rng)
+        parts = ddim_prepare(
+            bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, batch, rng
+        )
+        r_t, r_fake, r_real = jax.random.split(r_adv, 3)
+        bsz = parts["end_t"].shape[0]
+        span = schedule.num_train_timesteps // cfg.multiphase
+        adv_t = jnp.minimum(
+            parts["end_t"] + jax.random.randint(r_t, (bsz,), 0, span),
+            schedule.num_train_timesteps - 1,
+        )
+        model_pred = jax.lax.stop_gradient(
+            ddim_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
+        )
+        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+        eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+        fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
+        real = schedule.noise_travel(parts["target"], eps_real, parts["end_t"], adv_t)
+        fake_feats = bundle.teacher_features(
+            frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+        )
+        real_feats = bundle.teacher_features(
+            frozen, real, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+        )
+
+        def loss_fn(dp):
+            fl = disc.apply({"params": dp}, fake_feats)
+            rl = disc.apply({"params": dp}, real_feats)
+            return hinge_d_loss(fl, rl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+        new_state = _apply_updates(d_state, grads, tx_d)
+        return new_state, {"d_loss": loss, "d_grad_norm": _grad_norm(grads)}
+
+    return g_step, d_step
+
+
+# ---------------------------------------------------------------------------
+# flow family (SD3) adversarial steps
+# ---------------------------------------------------------------------------
+
+
+def build_flow_adv_steps(
+    bundle,
+    schedule: FlowSchedule,
+    cfg: DistillConfig,
+    adv: AdvConfig,
+    disc: Discriminator,
+    tx_g,
+    tx_d,
+) -> Tuple[Callable, Callable]:
+    solver = PhasedEulerSolver.create(schedule, cfg.num_solver_steps)
+    span = cfg.num_solver_steps // cfg.multiphase
+
+    def _adv_setup(parts, r_adv):
+        r_t, r_fake, r_real = jax.random.split(r_adv, 3)
+        end_index = parts["end_index"]
+        bsz = end_index.shape[0]
+        adv_index = end_index + jax.random.randint(r_t, (bsz,), 0, span)
+        sig_end = _bcast(solver.sigmas_prev[end_index], parts["latents"].ndim)
+        sig_adv = _bcast(solver.sigmas_prev[adv_index], parts["latents"].ndim)
+        t_adv = solver.sigmas_prev[adv_index] * schedule.num_train_timesteps
+        return sig_end, sig_adv, t_adv, r_fake, r_real
+
+    def _renoise(x, eps, sig_end, sig_adv):
+        # flow-space renoise (`train_pcm_lora_sd3_adv.py:1446-1453`)
+        return ((1.0 - sig_adv) * x + (sig_adv - sig_end) * eps) / (1.0 - sig_end)
+
+    def g_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, g_state.step)
+        rng, r_adv = jax.random.split(rng)
+        parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, batch, rng)
+        sig_end, sig_adv, t_adv, r_fake, _ = _adv_setup(parts, r_adv)
+        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+
+        def loss_fn(lora):
+            model_pred = flow_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+            cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+            fake = _renoise(model_pred, eps_fake, sig_end, sig_adv)
+            feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
+            logits = disc.apply({"params": d_state.params}, feats)
+            g = hinge_g_loss(logits)
+            return cm + adv.adv_weight * g, (cm, g)
+
+        (loss, (cm, g)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
+        new_state = _apply_updates(g_state, grads, tx_g)
+        return new_state, {"loss": loss, "loss_cm": cm, "g_loss": g, "grad_norm": _grad_norm(grads)}
+
+    def d_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(jax.random.fold_in(rng, d_state.step), 7)
+        rng, r_adv = jax.random.split(rng)
+        parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, batch, rng)
+        sig_end, sig_adv, t_adv, r_fake, r_real = _adv_setup(parts, r_adv)
+        model_pred = jax.lax.stop_gradient(
+            flow_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
+        )
+        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+        eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+        fake = _renoise(model_pred, eps_fake, sig_end, sig_adv)
+        real = _renoise(parts["target"], eps_real, sig_end, sig_adv)
+        fake_feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
+        real_feats = bundle.teacher_features(frozen, real, t_adv, parts["cond"])
+
+        def loss_fn(dp):
+            fl = disc.apply({"params": dp}, fake_feats)
+            rl = disc.apply({"params": dp}, real_feats)
+            return hinge_d_loss(fl, rl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+        new_state = _apply_updates(d_state, grads, tx_d)
+        return new_state, {"d_loss": loss, "d_grad_norm": _grad_norm(grads)}
+
+    return g_step, d_step
+
+
+def init_discriminator(disc: Discriminator, bundle, frozen, rng, latent_hw: int, cond):
+    """Initialize head params from one feature-extraction pass."""
+    ch = bundle.unet_cfg.in_channels if hasattr(bundle, "unet_cfg") else bundle.mmdit_cfg.in_channels
+    x = jnp.zeros((1, latent_hw, latent_hw, ch), jnp.float32)
+    t = jnp.zeros((1,))
+    cond1 = jax.tree.map(lambda a: a[:1], cond)
+    feats = bundle.teacher_features(frozen, x, t, cond1)
+    return jax.jit(disc.init)(rng, feats)["params"]

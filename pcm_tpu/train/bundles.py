@@ -38,7 +38,6 @@ SD_UNET_LORA_TARGETS = (
     "to_q", "to_k", "to_v", "to_out_0", "proj_in", "proj_out",
     "net_0_proj", "net_2", "conv1", "conv2", "conv_shortcut",
     "downsamplers_0/conv", "upsamplers_0/conv", "time_emb_proj",
-    "conv_in", "conv_out",
 )
 
 
@@ -54,17 +53,24 @@ class SD15Bundle:
     text_cfg: CLIPTextConfig
     lora: LoRASpec
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def __post_init__(self):
-        object.__setattr__(self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora))
-        object.__setattr__(self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA))
+        object.__setattr__(
+            self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat)
+        )
+        object.__setattr__(
+            self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat)
+        )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
 
     # -- init -------------------------------------------------------------
-    def init(self, rng, image_size: int, seq_len: int = 77):
+    def init(self, rng, image_size: int = None, seq_len: int = 77):
+        del image_size  # params are independent of spatial size
         r1, r2, r3 = jax.random.split(rng, 3)
-        latent = image_size // 8
+        image_size = 64
+        latent = 16
         x = jnp.zeros((1, latent, latent, self.unet_cfg.in_channels), self.dtype)
         t = jnp.zeros((1,))
         ctx = jnp.zeros((1, seq_len, self.unet_cfg.cross_attention_dim), self.dtype)
@@ -112,10 +118,10 @@ class SD15Bundle:
             {"params": frozen["unet"]}, x, t, cond["prompt_embeds"], cond["added_cond"]
         )
 
-    def teacher_features(self, frozen, x, t, cond):
+    def teacher_features(self, frozen, x, t, cond, stop_after_mid: bool = False):
         _, feats = self._teacher.apply(
             {"params": frozen["unet"]}, x, t, cond["prompt_embeds"], cond["added_cond"],
-            mutable=["features"],
+            stop_after_mid=stop_after_mid, mutable=["features"],
         )
         return {k: v[0] for k, v in feats["features"].items()}
 
@@ -130,17 +136,24 @@ class SDXLBundle:
     text2_cfg: CLIPTextConfig  # te2 (bigG, with projection)
     lora: LoRASpec
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def __post_init__(self):
-        object.__setattr__(self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora))
-        object.__setattr__(self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA))
+        object.__setattr__(
+            self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat)
+        )
+        object.__setattr__(
+            self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat)
+        )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
         object.__setattr__(self, "_text2", CLIPTextModel(self.text2_cfg, self.dtype))
 
-    def init(self, rng, image_size: int, seq_len: int = 77):
+    def init(self, rng, image_size: int = None, seq_len: int = 77):
+        del image_size
         r1, r2, r3, r4 = jax.random.split(rng, 4)
-        latent = image_size // 8
+        image_size = 64
+        latent = 16
         d = self.unet_cfg.cross_attention_dim
         x = jnp.zeros((1, latent, latent, self.unet_cfg.in_channels), self.dtype)
         t = jnp.zeros((1,))
@@ -218,18 +231,24 @@ class SD3Bundle:
     t5_cfg: T5Config
     lora: LoRASpec
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def __post_init__(self):
-        object.__setattr__(self, "_student", MMDiT(self.mmdit_cfg, self.dtype, self.lora))
-        object.__setattr__(self, "_teacher", MMDiT(self.mmdit_cfg, self.dtype, NO_LORA))
+        object.__setattr__(
+            self, "_student", MMDiT(self.mmdit_cfg, self.dtype, self.lora, self.remat)
+        )
+        object.__setattr__(
+            self, "_teacher", MMDiT(self.mmdit_cfg, self.dtype, NO_LORA, self.remat)
+        )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
         object.__setattr__(self, "_text2", CLIPTextModel(self.text2_cfg, self.dtype))
         object.__setattr__(self, "_t5", T5Encoder(self.t5_cfg, self.dtype))
 
-    def init(self, rng, image_size: int, seq_len: int = 77):
+    def init(self, rng, image_size: int = None, seq_len: int = 77):
+        del image_size
         r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
-        latent = image_size // 8
+        latent = 16
         x = jnp.zeros((1, latent, latent, self.mmdit_cfg.in_channels), self.dtype)
         t = jnp.zeros((1,))
         ctx = jnp.zeros((1, 2 * seq_len, self.mmdit_cfg.joint_attention_dim), self.dtype)
@@ -298,7 +317,7 @@ class SD3Bundle:
             {"params": frozen["mmdit"]}, x, t, cond["prompt_embeds"], cond["pooled"]
         )
 
-    def teacher_features(self, frozen, x, t, cond):
+    def teacher_features(self, frozen, x, t, cond, stop_after_mid: bool = False):
         _, feats = self._teacher.apply(
             {"params": frozen["mmdit"]}, x, t, cond["prompt_embeds"], cond["pooled"],
             mutable=["features"],

@@ -1,0 +1,146 @@
+"""The training loop harness: steps, alternation, checkpointing, validation.
+
+Equivalent of the reference trainers' ``main()`` orchestration
+(`train_pcm_lora_sd15.py:766-1384`): data feeding, D/G parity alternation for
+adversarial recipes, checkpoint save/rotate/resume with kohya LoRA export,
+periodic validation image grids, metrics logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lora.kohya import save_kohya_safetensors
+from ..parallel.mesh import shard_batch
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging import MetricsLogger
+from .state import TrainState
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    output_dir: str
+    max_train_steps: int
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: Optional[int] = 5
+    validation_steps: int = 500
+    log_every: int = 10
+    seed: int = 42
+    resume: bool = True
+    kohya_prefix: str = "lora_unet"
+    lora_alpha: float = 8.0
+
+
+class Trainer:
+    """Drives consistency-only or adversarial training to completion."""
+
+    def __init__(
+        self,
+        loop_cfg: LoopConfig,
+        frozen: Dict[str, Any],
+        g_state: TrainState,
+        step_fn: Callable = None,
+        adv_steps: Optional[tuple] = None,  # (g_step, d_step)
+        d_state: Optional[TrainState] = None,
+        mesh=None,
+        validation_fn: Optional[Callable] = None,
+    ):
+        self.cfg = loop_cfg
+        self.frozen = frozen
+        self.g_state = g_state
+        self.d_state = d_state
+        self.mesh = mesh
+        self.validation_fn = validation_fn
+        self.adversarial = adv_steps is not None
+        if self.adversarial:
+            g_step, d_step = adv_steps
+            self._g_step = jax.jit(g_step, donate_argnums=(0,))
+            self._d_step = jax.jit(d_step, donate_argnums=(1,))
+        else:
+            self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+        self.logger = MetricsLogger(loop_cfg.output_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(loop_cfg.output_dir, "checkpoints"),
+            max_to_keep=loop_cfg.checkpoints_total_limit,
+        )
+        self.global_step = 0
+        if loop_cfg.resume:
+            self._try_resume()
+
+    # -- checkpoint -------------------------------------------------------
+    def _ckpt_state(self):
+        state = {"g_state": self.g_state}
+        if self.d_state is not None:
+            state["d_state"] = self.d_state
+        return state
+
+    def _try_resume(self):
+        restored, step = self.ckpt.restore(self._ckpt_state())
+        if step is not None:
+            self.g_state = restored["g_state"]
+            self.d_state = restored.get("d_state", self.d_state)
+            self.global_step = int(step)
+
+    def _save(self):
+        self.ckpt.save(self.global_step, self._ckpt_state())
+        if jax.process_index() == 0:
+            lora_host = jax.device_get(self.g_state.params)
+            path = os.path.join(
+                self.cfg.output_dir, f"pcm_lora_{self.global_step:07d}.safetensors"
+            )
+            save_kohya_safetensors(
+                path, lora_host, self.cfg.lora_alpha, prefix=self.cfg.kohya_prefix
+            )
+
+    # -- loop -------------------------------------------------------------
+    def run(self, data_iter: Iterator[Dict], extra_batch_fn: Optional[Callable] = None):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        t_last = time.time()
+        while self.global_step < cfg.max_train_steps:
+            batch = next(data_iter)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if extra_batch_fn is not None:
+                batch = extra_batch_fn(batch)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+
+            if self.adversarial and self.global_step % 2 == 0:
+                # even parity trains D (ref `train_pcm_lora_sd15_adv.py:1374`)
+                self.d_state, metrics = self._d_step(
+                    self.g_state, self.d_state, self.frozen, batch, rng
+                )
+            elif self.adversarial:
+                self.g_state, metrics = self._g_step(
+                    self.g_state, self.d_state, self.frozen, batch, rng
+                )
+            else:
+                self.g_state, metrics = self._step(self.g_state, self.frozen, batch, rng)
+
+            self.global_step += 1
+            if self.global_step % cfg.log_every == 0:
+                now = time.time()
+                metrics = dict(metrics)
+                metrics["steps_per_sec"] = cfg.log_every / (now - t_last)
+                t_last = now
+                self.logger.log(self.global_step, metrics)
+
+            if self.global_step % cfg.checkpointing_steps == 0:
+                self._save()
+
+            if self.validation_fn is not None and self.global_step % cfg.validation_steps == 0:
+                images = self.validation_fn(self.frozen, self.g_state.params, self.global_step)
+                if images is not None:
+                    self.logger.log_images(self.global_step, "validation", images)
+
+        self._save()
+        self.ckpt.wait()
+        return self.g_state, self.d_state

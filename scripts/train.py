@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Train a PCM-LoRA student — the CLI equivalent of the reference's
+``accelerate launch train_pcm_lora_*.py`` entry points.
+
+Example (mirrors `train_pcm_lora_sd15.sh` recipe 1):
+  python scripts/train.py --recipe sd15_4phase \
+      --train-data-dir /data/cc3m --output-dir runs/sd15_4phase \
+      --teacher-checkpoint ckpts/sd15  # orbax dir with ported HF weights
+
+Without --teacher-checkpoint, models are randomly initialized (smoke runs).
+Multi-host: run one process per host with JAX_COORDINATOR_ADDRESS etc. set;
+the data loader shards per process and the mesh spans all chips.
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", required=True)
+    ap.add_argument("--train-data-dir", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--teacher-checkpoint", default=None,
+                    help="orbax dir holding the frozen param trees")
+    ap.add_argument("--tokenizer-dir", default=None,
+                    help="local transformers tokenizer dir(s); fallback: hash tokenizer")
+    ap.add_argument("--max-train-steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None, help="per-chip batch")
+    ap.add_argument("--resolution", type=int, default=None)
+    ap.add_argument("--checkpointing-steps", type=int, default=500)
+    ap.add_argument("--checkpoints-total-limit", type=int, default=5)
+    ap.add_argument("--validation-steps", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--multihost", action="store_true")
+    ap.add_argument("--dataloader-workers", type=int, default=16)
+    args = ap.parse_args()
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    from pcm_tpu.configs.families import RECIPES, sd3_bundle, sd15_bundle, sdxl_bundle
+    from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
+    from pcm_tpu.data.dataset import DataLoader, ImageFolderDataset, make_collate, shard_for_process
+    from pcm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+    from pcm_tpu.parallel.mesh import make_mesh, replicate
+    from pcm_tpu.train.adv import (
+        SD3_DISC_CONFIG,
+        SD15_DISC_CONFIG,
+        SDXL_DISC_CONFIG,
+        AdvConfig,
+        Discriminator,
+        build_ddim_adv_steps,
+        build_flow_adv_steps,
+        init_discriminator,
+    )
+    from pcm_tpu.train.distill import build_ddim_distill_step, build_flow_distill_step
+    from pcm_tpu.train.loop import LoopConfig, Trainer
+    from pcm_tpu.train.state import TrainState, make_optimizer
+
+    recipe = RECIPES[args.recipe]
+    res = args.resolution or recipe.resolution
+    batch = args.batch_size or recipe.batch_per_chip
+    max_steps = args.max_train_steps or recipe.max_steps
+
+    # --- bundle + schedule ---
+    if recipe.family == "sd15":
+        bundle = sd15_bundle(recipe.lora_rank)
+        schedule = make_ddpm_schedule()
+        build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
+        disc_cfg = SD15_DISC_CONFIG
+        tok_keys = ["input_ids"]
+    elif recipe.family == "sdxl":
+        bundle = sdxl_bundle(recipe.lora_rank)
+        schedule = make_ddpm_schedule()
+        build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
+        disc_cfg = SDXL_DISC_CONFIG
+        tok_keys = ["input_ids", "input_ids_2"]
+    else:
+        bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial)
+        schedule = make_flow_schedule(shift=3.0)
+        build_plain, build_adv = build_flow_distill_step, build_flow_adv_steps
+        disc_cfg = SD3_DISC_CONFIG
+        tok_keys = ["input_ids", "input_ids_2", "input_ids_3"]
+
+    # --- params ---
+    frozen, lora = bundle.init(jax.random.PRNGKey(args.seed), res)
+    if args.teacher_checkpoint:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        frozen = ckptr.restore(os.path.abspath(args.teacher_checkpoint), frozen)
+
+    n_dev = jax.device_count()
+    mesh = make_mesh(data=n_dev, fsdp=1) if n_dev > 1 else None
+
+    tx_g = make_optimizer(recipe.lr, max_grad_norm=1.0)
+    g_state = TrainState.create(lora, tx_g)
+
+    # --- data ---
+    ds = ImageFolderDataset(
+        args.train_data_dir,
+        resolution=res,
+        crop="random" if recipe.family == "sdxl" else "center",
+        proportion_empty_prompts=recipe.proportion_empty_prompts,
+        seed=args.seed,
+    )
+    if jax.process_count() > 1:
+        ds.files = shard_for_process(ds.files, jax.process_index(), jax.process_count())
+    if args.tokenizer_dir:
+        toks = {k: HFTokenizer(args.tokenizer_dir) for k in tok_keys}
+    else:
+        toks = {k: HashTokenizer() for k in tok_keys}
+    collate = make_collate(toks, res, sdxl=(recipe.family == "sdxl"))
+    global_batch = batch * (n_dev if mesh is not None else 1)
+    loader = DataLoader(ds, global_batch, collate, num_workers=args.dataloader_workers,
+                        seed=args.seed)
+
+    # --- uncond embeds (precomputed once, ref sd15 train:1053-1059) ---
+    empty_ids = {k: jnp.asarray(toks[k]([""] * global_batch)) for k in tok_keys}
+    if recipe.family == "sd15":
+        uncond = bundle.encode_prompts(frozen, empty_ids["input_ids"])
+        extra = {"uncond_embeds": uncond["prompt_embeds"]}
+    elif recipe.family == "sdxl":
+        extra = {}  # zero-tensor uncond built inside the step
+    else:
+        uncond = bundle.encode_prompts(
+            frozen, empty_ids["input_ids"], empty_ids["input_ids_2"], empty_ids["input_ids_3"]
+        )
+        extra = {
+            "uncond_embeds": uncond["prompt_embeds"],
+            "uncond_pooled": uncond["pooled"],
+        }
+
+    def extra_batch_fn(b):
+        b.update(extra)
+        return b
+
+    # --- steps ---
+    loop_cfg = LoopConfig(
+        output_dir=args.output_dir,
+        max_train_steps=max_steps,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        validation_steps=args.validation_steps,
+        seed=args.seed,
+        resume=not args.no_resume,
+        kohya_prefix="lora_unet" if recipe.family != "sd3" else "lora_transformer",
+    )
+
+    if recipe.adversarial:
+        disc = Discriminator(disc_cfg)
+        latent_hw = res // 8
+        ids0 = {k: v[:1] for k, v in empty_ids.items()}
+        if recipe.family == "sd15":
+            cond0 = bundle.encode_prompts(frozen, ids0["input_ids"])
+        elif recipe.family == "sdxl":
+            cond0 = bundle.encode_prompts(
+                frozen, ids0["input_ids"], ids0["input_ids_2"],
+                jnp.zeros((1, 6), jnp.float32),
+            )
+        else:
+            cond0 = bundle.encode_prompts(
+                frozen, ids0["input_ids"], ids0["input_ids_2"], ids0["input_ids_3"]
+            )
+        d_params = init_discriminator(
+            disc, bundle, frozen, jax.random.PRNGKey(args.seed + 1), latent_hw, cond0
+        )
+        tx_d = make_optimizer(recipe.adv_lr, b1=0.0, max_grad_norm=1.0)
+        d_state = TrainState.create(d_params, tx_d)
+        steps = build_adv(
+            bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight), disc, tx_g, tx_d
+        )
+        trainer = Trainer(
+            loop_cfg, frozen, g_state, adv_steps=steps, d_state=d_state, mesh=mesh
+        )
+    else:
+        step_fn = build_plain(bundle, schedule, recipe.distill, tx_g)
+        trainer = Trainer(loop_cfg, frozen, g_state, step_fn=step_fn, mesh=mesh)
+
+    if mesh is not None:
+        trainer.g_state = replicate(trainer.g_state, mesh)
+        if trainer.d_state is not None:
+            trainer.d_state = replicate(trainer.d_state, mesh)
+        trainer.frozen = replicate(frozen, mesh)
+
+    trainer.run(iter(loader), extra_batch_fn)
+
+
+if __name__ == "__main__":
+    main()

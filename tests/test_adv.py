@@ -1,0 +1,127 @@
+"""Adversarial (hinge-GAN) distillation step tests on tiny models."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
+from pcm_tpu.lora.layers import LoRASpec
+from pcm_tpu.models.clip import CLIPTextConfig
+from pcm_tpu.models.mmdit import SD3_LORA_TARGETS, TINY_MMDIT_CONFIG
+from pcm_tpu.models.t5 import TINY_T5_CONFIG
+from pcm_tpu.models.unet import TINY_UNET_CONFIG
+from pcm_tpu.models.vae import TINY_VAE_CONFIG
+from pcm_tpu.train.adv import (
+    AdvConfig,
+    Discriminator,
+    DiscriminatorConfig,
+    build_ddim_adv_steps,
+    build_flow_adv_steps,
+    init_discriminator,
+)
+from pcm_tpu.train.bundles import SD15Bundle, SD3Bundle, SD_UNET_LORA_TARGETS
+from pcm_tpu.train.distill import DistillConfig
+from pcm_tpu.train.state import TrainState, make_optimizer
+
+IMG = 32
+
+
+def test_sd15_adv_steps():
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG)
+
+    # tiny UNet has 2 levels -> taps down_0, down_1, mid, up_0, up_1
+    disc_cfg = DiscriminatorConfig(
+        taps=("down_0", "down_1", "mid", "up_0", "up_1"), num_h_per_head=2, kernel=3
+    )
+    disc = Discriminator(disc_cfg)
+    rng = np.random.RandomState(0)
+    bsz = 2
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(bsz, IMG, IMG, 3) * 2 - 1, jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(1, 999, size=(bsz, 16))),
+        "uncond_embeds": jnp.zeros((bsz, 16, 32)),
+    }
+    cond = bundle.encode_prompts(frozen, batch["input_ids"])
+    d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), 16, cond)
+
+    tx_g = make_optimizer(1e-3)
+    tx_d = make_optimizer(1e-3, b1=0.0)  # ref disc Adam beta=(0, 0.999)
+    g_state = TrainState.create(lora, tx_g)
+    d_state = TrainState.create(d_params, tx_d)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2)
+    g_step, d_step = build_ddim_adv_steps(
+        bundle, make_ddpm_schedule(), cfg, AdvConfig(0.1), disc, tx_g, tx_d
+    )
+
+    d_state2, dm = jax.jit(d_step)(g_state, d_state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(dm["d_loss"]))
+    moved = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(d_state.params), jax.tree.leaves(d_state2.params))
+    ]
+    assert max(moved) > 0
+
+    g_state2, gm = jax.jit(g_step)(g_state, d_state2, frozen, batch, jax.random.PRNGKey(1))
+    for k in ("loss", "loss_cm", "g_loss"):
+        assert np.isfinite(float(gm[k])), k
+    moved = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(g_state.params), jax.tree.leaves(g_state2.params))
+    ]
+    assert max(moved) > 0
+
+
+def test_sd3_adv_steps():
+    clip_sd3 = CLIPTextConfig(
+        vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, projection_dim=16,
+    )
+    t5_cfg = dataclasses.replace(TINY_T5_CONFIG, d_model=32, d_kv=8, d_ff=64)
+    bundle = SD3Bundle(
+        mmdit_cfg=TINY_MMDIT_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+        text_cfg=clip_sd3, text2_cfg=clip_sd3, t5_cfg=t5_cfg,
+        lora=LoRASpec(rank=4, targets=SD3_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG, seq_len=8)
+
+    disc_cfg = DiscriminatorConfig(taps=("block_0", "block_1"), num_h_per_head=1, kernel=1)
+    disc = Discriminator(disc_cfg)
+    rng = np.random.RandomState(0)
+    bsz = 2
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(bsz, IMG, IMG, 3) * 2 - 1, jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(1, 999, size=(bsz, 8))),
+        "input_ids_2": jnp.asarray(rng.randint(1, 999, size=(bsz, 8))),
+        "input_ids_3": jnp.asarray(rng.randint(0, 999, size=(bsz, 8))),
+        "uncond_embeds": jnp.zeros((bsz, 16, 32)),
+        "uncond_pooled": jnp.zeros((bsz, 32)),
+    }
+    cond = bundle.encode_prompts(
+        frozen, batch["input_ids"], batch["input_ids_2"], batch["input_ids_3"]
+    )
+    d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), 16, cond)
+
+    tx_g = make_optimizer(1e-3)
+    tx_d = make_optimizer(1e-3, b1=0.0)
+    g_state = TrainState.create(lora, tx_g)
+    d_state = TrainState.create(d_params, tx_d)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2, fixed_w=3.0)
+    g_step, d_step = build_flow_adv_steps(
+        bundle, make_flow_schedule(shift=3.0), cfg, AdvConfig(0.1), disc, tx_g, tx_d
+    )
+
+    d_state2, dm = jax.jit(d_step)(g_state, d_state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(dm["d_loss"]))
+    g_state2, gm = jax.jit(g_step)(g_state, d_state2, frozen, batch, jax.random.PRNGKey(1))
+    for k in ("loss", "loss_cm", "g_loss"):
+        assert np.isfinite(float(gm[k])), k

@@ -1,0 +1,149 @@
+"""Integration test: dataset -> DataLoader -> Trainer loop -> checkpoint,
+resume, kohya export — on tiny models with a synthetic on-disk dataset."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcm_tpu.core import make_ddpm_schedule
+from pcm_tpu.data.dataset import DataLoader, ImageFolderDataset, make_collate
+from pcm_tpu.data.tokenizer import HashTokenizer
+from pcm_tpu.lora.layers import LoRASpec
+from pcm_tpu.models.clip import CLIPTextConfig
+from pcm_tpu.models.unet import TINY_UNET_CONFIG
+from pcm_tpu.models.vae import TINY_VAE_CONFIG
+from pcm_tpu.train.bundles import SD15Bundle, SD_UNET_LORA_TARGETS
+from pcm_tpu.train.distill import DistillConfig, build_ddim_distill_step
+from pcm_tpu.train.loop import LoopConfig, Trainer
+from pcm_tpu.train.state import TrainState, make_optimizer
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        arr = (rng.rand(48, 40, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+        (d / f"img_{i}.txt").write_text(f"a photo number {i}")
+    # one corrupt file to exercise the retry path
+    (d / "bad.png").write_bytes(b"not an image")
+    return str(d)
+
+
+def test_dataset_and_loader(image_dir):
+    ds = ImageFolderDataset(image_dir, resolution=IMG, crop="center")
+    assert len(ds) == 9  # includes the corrupt file
+    s = ds.get(0)
+    assert s["pixel_values"].shape == (IMG, IMG, 3)
+    assert -1.0 <= s["pixel_values"].min() and s["pixel_values"].max() <= 1.0
+    # corrupt file index retries into a valid sample
+    bad_idx = [i for i, f in enumerate(ds.files) if "bad" in f][0]
+    s2 = ds.get(bad_idx)
+    assert s2["pixel_values"].shape == (IMG, IMG, 3)
+
+    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    loader = DataLoader(ds, 4, make_collate({"input_ids": tok}, IMG), num_workers=2)
+    it = iter(loader)
+    b = next(it)
+    assert b["pixel_values"].shape == (4, IMG, IMG, 3)
+    assert b["input_ids"].shape == (4, 16)
+    assert b["input_ids"].max() < 1000
+
+
+def test_sdxl_collate_time_ids(image_dir):
+    ds = ImageFolderDataset(image_dir, resolution=IMG, crop="random")
+    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    collate = make_collate({"input_ids": tok, "input_ids_2": tok}, IMG, sdxl=True)
+    b = collate([ds.get(0), ds.get(1)])
+    assert b["time_ids"].shape == (2, 6)
+    # [orig_h, orig_w, c_top, c_left, res, res]
+    assert (b["time_ids"][:, 4:] == IMG).all()
+
+
+def test_trainer_checkpoint_resume_and_kohya_export(image_dir, tmp_path):
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, alpha=8.0, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG)
+    tx = make_optimizer(1e-3)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2)
+    step_fn = build_ddim_distill_step(bundle, make_ddpm_schedule(), cfg, tx)
+
+    ds = ImageFolderDataset(image_dir, resolution=IMG)
+    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    loader = DataLoader(ds, 2, make_collate({"input_ids": tok}, IMG), num_workers=2)
+
+    uncond = bundle.encode_prompts(frozen, jnp.asarray(tok(["", ""])))
+
+    def extra(b):
+        b["uncond_embeds"] = uncond["prompt_embeds"]
+        return b
+
+    out_dir = str(tmp_path / "run")
+    loop_cfg = LoopConfig(
+        output_dir=out_dir, max_train_steps=4, checkpointing_steps=2,
+        validation_steps=1000, log_every=2,
+    )
+    trainer = Trainer(loop_cfg, frozen, TrainState.create(lora, tx), step_fn=step_fn)
+    g_state, _ = trainer.run(iter(loader), extra)
+    assert int(g_state.step) == 4
+    trainer.ckpt.close()
+
+    # kohya exports written
+    exports = glob.glob(os.path.join(out_dir, "pcm_lora_*.safetensors"))
+    assert exports
+    from safetensors.numpy import load_file
+
+    sd = load_file(sorted(exports)[-1])
+    downs = [k for k in sd if k.endswith("lora_down.weight")]
+    assert downs and any("to_q" in k for k in downs)
+    assert all(k.startswith("lora_unet_") for k in downs)
+    alphas = [k for k in sd if k.endswith(".alpha")]
+    assert alphas and float(sd[alphas[0]]) == 8.0
+
+    # resume continues from the saved step
+    trainer2 = Trainer(loop_cfg, frozen, TrainState.create(lora, tx), step_fn=step_fn)
+    assert trainer2.global_step == 4
+    trainer2.ckpt.close()
+
+    # metrics jsonl written
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+
+
+def test_kohya_roundtrip():
+    from pcm_tpu.lora.kohya import from_kohya_state_dict, to_kohya_state_dict
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "down_blocks_0_attentions_0": {
+            "transformer_blocks_0": {
+                "attn1": {
+                    "to_q": {"a": rng.randn(32, 4).astype(np.float32),
+                             "b": rng.randn(4, 32).astype(np.float32)}
+                }
+            },
+            "proj_in": {"a": rng.randn(1, 1, 32, 4).astype(np.float32),
+                        "b": rng.randn(1, 1, 4, 32).astype(np.float32)},
+        }
+    }
+    sd = to_kohya_state_dict(tree, alpha=8.0)
+    assert "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_down.weight" in sd
+    assert sd["lora_unet_down_blocks_0_attentions_0_proj_in.lora_down.weight"].shape == (4, 32, 1, 1)
+    back, alpha = from_kohya_state_dict(sd, tree, rank=4)
+    assert alpha == 8.0
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
