@@ -51,7 +51,14 @@ def build(family: str, resolution: int, batch: int, lora_rank: int):
     schedule = make_ddpm_schedule()
     tx = make_optimizer(2e-6)
     t0 = time.time()
-    frozen, lora = bundle.init(jax.random.PRNGKey(0), resolution)
+    # init on the host CPU backend (the TPU remote compiler chokes on the
+    # billion-parameter init graph), then push bf16 weights to the chip
+    from pcm_tpu.train.bundles import init_frozen_fast
+
+    frozen, lora = init_frozen_fast(bundle, seed=0)
+    dev = jax.devices()[0]
+    frozen = jax.device_put(frozen, dev)
+    lora = jax.device_put(lora, dev)
     jax.block_until_ready(frozen)
     print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
     state = TrainState.create(lora, tx)

@@ -329,7 +329,9 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
     if interpret is None:
-        if interpret_default():
+        from .common import force_reference_ops
+
+        if interpret_default() or force_reference_ops():
             # No TPU: use the XLA oracle (fast) instead of the slow Pallas
             # interpreter. Kernel tests opt into interpret=True explicitly.
             return attention_reference(q, k, v, sm_scale)

@@ -128,7 +128,9 @@ def geglu(
 ) -> jnp.ndarray:
     """Fused GEGLU: x (..., K), w (K, 2F), b (2F,) -> (..., F)."""
     if interpret is None:
-        if interpret_default():
+        from .common import force_reference_ops
+
+        if interpret_default() or force_reference_ops():
             return geglu_reference(x, w, b)
         interpret = False
     return _geglu(x, w, b, interpret)

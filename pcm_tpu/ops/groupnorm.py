@@ -143,7 +143,9 @@ def group_norm_silu(
     ``x``: (N, *spatial, C); ``gamma``/``beta``: (C,).
     """
     if interpret is None:
-        if interpret_default():
+        from .common import force_reference_ops
+
+        if interpret_default() or force_reference_ops():
             return group_norm_silu_reference(x, gamma, beta, num_groups, eps, act)
         interpret = False
     return _group_norm_silu(x, gamma, beta, num_groups, eps, act, interpret)

@@ -323,3 +323,67 @@ class SD3Bundle:
             mutable=["features"],
         )
         return {k: v[0] for k, v in feats["features"].items()}
+
+
+def init_frozen_cpu(bundle, rng, cast_dtype=jnp.bfloat16):
+    """Initialize a bundle's param trees on the host CPU backend.
+
+    The axon TPU remote compiler struggles with billion-parameter init
+    graphs; CPU init is fast and the frozen tree is cast (default bf16 —
+    the reference's mixed-precision weight_dtype policy) before being moved
+    to devices by the first jitted use.
+    """
+    from ..ops.common import reference_ops
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), reference_ops():
+        frozen, lora = bundle.init(rng)
+    if cast_dtype is not None:
+        frozen = jax.tree.map(
+            lambda x: x.astype(cast_dtype) if x.dtype == jnp.float32 else x, frozen
+        )
+    return frozen, lora
+
+
+def init_frozen_fast(bundle, seed: int = 0, cast_dtype=jnp.bfloat16):
+    """Structure-only initialization: `jax.eval_shape` the bundle's init (no
+    XLA compile at all) and fill parameters host-side with numpy.
+
+    Weight values follow simple fan-in scaling — correct enough for
+    throughput benchmarking and infrastructure smoke runs; real training
+    restores ported checkpoints over this structure anyway.
+    """
+    import numpy as np
+
+    from ..ops.common import reference_ops
+
+    with reference_ops():
+        shapes = jax.eval_shape(lambda r: bundle.init(r), jax.random.PRNGKey(0))
+    frozen_s, lora_s = shapes
+    rng = np.random.default_rng(seed)
+
+    def fill(path, sds):
+        name = jax.tree_util.keystr(path).lower()
+        shape, dtype = sds.shape, sds.dtype
+        if cast_dtype is not None and dtype == jnp.float32:
+            dtype = cast_dtype
+        if not shape:
+            return jnp.zeros((), dtype)
+        if "'scale'" in name or "'weight'" in name and len(shape) == 1:
+            return jnp.ones(shape, dtype)
+        if "'bias'" in name or name.endswith("['b']"):
+            return jnp.zeros(shape, dtype)
+        fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else shape[0]
+        std = 1.0 / max(fan_in, 1) ** 0.5
+        arr = rng.standard_normal(size=shape, dtype=np.float32) * std
+        return jnp.asarray(arr, dtype)
+
+    frozen = jax.tree_util.tree_map_with_path(fill, frozen_s)
+    lora = jax.tree_util.tree_map_with_path(
+        lambda p, sds: fill(p, sds) if not jax.tree_util.keystr(p).endswith("['b']")
+        else jnp.zeros(sds.shape, jnp.float32),
+        lora_s,
+    )
+    # lora params stay fp32 (master weights)
+    lora = jax.tree.map(lambda x: x.astype(jnp.float32), lora)
+    return frozen, lora

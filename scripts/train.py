@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--multihost", action="store_true")
     ap.add_argument("--dataloader-workers", type=int, default=16)
+    ap.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    ap.add_argument("--validation-prompts", nargs="*", default=[
+        "portrait photo of a girl, photograph, highly detailed face, depth of field",
+        "Self-portrait oil painting, a beautiful cyborg with golden hair, 8k",
+        "Astronaut in a jungle, cold color palette, muted colors, detailed, 8k",
+        "A photo of beautiful mountain with realistic sunset and blue lake, highly detailed, masterpiece",
+    ])
     args = ap.parse_args()
 
     if args.multihost:
@@ -93,7 +100,9 @@ def main():
         tok_keys = ["input_ids", "input_ids_2", "input_ids_3"]
 
     # --- params ---
-    frozen, lora = bundle.init(jax.random.PRNGKey(args.seed), res)
+    from pcm_tpu.train.bundles import init_frozen_cpu
+
+    frozen, lora = init_frozen_cpu(bundle, jax.random.PRNGKey(args.seed))
     if args.teacher_checkpoint:
         import orbax.checkpoint as ocp
 
@@ -103,7 +112,11 @@ def main():
     n_dev = jax.device_count()
     mesh = make_mesh(data=n_dev, fsdp=1) if n_dev > 1 else None
 
+    import optax
+
     tx_g = make_optimizer(recipe.lr, max_grad_norm=1.0)
+    if args.gradient_accumulation_steps > 1:
+        tx_g = optax.MultiSteps(tx_g, args.gradient_accumulation_steps)
     g_state = TrainState.create(lora, tx_g)
 
     # --- data ---
@@ -192,6 +205,42 @@ def main():
         if trainer.d_state is not None:
             trainer.d_state = replicate(trainer.d_state, mesh)
         trainer.frozen = replicate(frozen, mesh)
+
+    # --- validation: k-step image grid, mirroring ref log_validation ---
+    from pcm_tpu.core import make_flow_schedule as _mkf
+    from pcm_tpu.sampling import DDIMSampler, PCMFMSampler, TextToImagePipeline
+
+    k = recipe.distill.multiphase
+    if recipe.family == "sd3":
+        sampler = PCMFMSampler.create(
+            _mkf(shift=3.0), k, pcm_timesteps=recipe.distill.num_solver_steps
+        )
+    else:
+        sampler = DDIMSampler.create(schedule, k)
+    pipe = TextToImagePipeline(bundle, sampler)
+    val_prompts = args.validation_prompts
+    if val_prompts:
+        vids = {key: jnp.asarray(toks[key](val_prompts)) for key in tok_keys}
+        if recipe.family == "sd15":
+            vcond = bundle.encode_prompts(frozen, vids["input_ids"])
+        elif recipe.family == "sdxl":
+            vt = jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
+                          (len(val_prompts), 1))
+            vcond = bundle.encode_prompts(frozen, vids["input_ids"], vids["input_ids_2"], vt)
+        else:
+            vcond = bundle.encode_prompts(
+                frozen, vids["input_ids"], vids["input_ids_2"], vids["input_ids_3"]
+            )
+        gen = jax.jit(
+            lambda f, l, r: pipe.generate(
+                f, l, vcond, None, r, latent_hw=res // 8, guidance_scale=1.0
+            )
+        )
+
+        def validation_fn(frozen_, lora_, step_):
+            return np.asarray(gen(frozen_, lora_, jax.random.PRNGKey(step_)))
+
+        trainer.validation_fn = validation_fn
 
     trainer.run(iter(loader), extra_batch_fn)
 
