@@ -86,12 +86,12 @@ def build(family: str, resolution: int, batch: int, lora_rank: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    # default = the config whose compile is proven reliable on the axon
-    # remote compiler (SDXL 1024 compiles too, but takes tens of minutes on a
-    # cold cache; run `--family sdxl --resolution 1024` explicitly)
-    ap.add_argument("--family", default="sd15")
-    ap.add_argument("--resolution", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=4)
+    # headline config (BASELINE.json metric). NOTE: cold-cache compile of the
+    # SDXL 1024px step takes ~25 min on the axon remote compiler; the
+    # persistent cache at /tmp/jax_cache makes subsequent runs fast.
+    ap.add_argument("--family", default="sdxl")
+    ap.add_argument("--resolution", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--lora-rank", type=int, default=64)
     args = ap.parse_args()

@@ -248,6 +248,7 @@ class SD3Bundle:
     def init(self, rng, image_size: int = None, seq_len: int = 77):
         del image_size
         r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+        image_size = 64
         latent = 16
         x = jnp.zeros((1, latent, latent, self.mmdit_cfg.in_channels), self.dtype)
         t = jnp.zeros((1,))
