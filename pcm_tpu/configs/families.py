@@ -124,4 +124,11 @@ RECIPES = {
         DistillConfig(num_solver_steps=100, multiphase=4, fixed_w=3.0),
         lora_rank=32, adversarial=True,
     ),
+    # train_pcm_lora_sd3_adv_stochastic.py: same training math with the
+    # shift=3 scheduler baked in; deploy/validate with the stochastic sampler
+    "sd3_adv_stochastic": Recipe(
+        "sd3_adv_stochastic", "sd3", 1024, 2, 20000, 5e-6,
+        DistillConfig(num_solver_steps=100, multiphase=1, fixed_w=3.0),
+        lora_rank=32, adversarial=True,
+    ),
 }

@@ -43,6 +43,9 @@ class UNetConfig:
     # SDXL micro-conditioning: pooled text (addition) embedding widths
     addition_embed_dim: Optional[int] = None  # sinusoid dim per time_id (SDXL: 256)
     addition_in_dim: Optional[int] = None  # total concat width (SDXL: 2816)
+    # LCM-style guidance-scale embedding input width (ref guidance_scale_embedding,
+    # `train_pcm_lora_sd15.py:211-237`; passed as timestep_cond). None = disabled.
+    time_cond_proj_dim: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -100,6 +103,7 @@ class UNet2DCondition(nn.Module):
         added_cond: Optional[Dict[str, jnp.ndarray]] = None,
         # SDXL: {"text_embeds": (N, 1280), "time_ids": (N, 6)}
         stop_after_mid: bool = False,  # feature-extraction mode (discriminator)
+        timestep_cond: Optional[jnp.ndarray] = None,  # (N, time_cond_proj_dim)
     ) -> jnp.ndarray:
         cfg = self.cfg
         lora = self.lora
@@ -109,6 +113,10 @@ class UNet2DCondition(nn.Module):
 
         # --- time embedding (fp32 sinusoid, then model dtype MLP) ---
         t_emb = sinusoidal_embedding(timesteps, ch0).astype(self.dtype)
+        if cfg.time_cond_proj_dim is not None and timestep_cond is not None:
+            t_emb = t_emb + nn.Dense(
+                ch0, use_bias=False, dtype=self.dtype, name="time_embedding_cond_proj"
+            )(timestep_cond.astype(self.dtype))
         temb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
 
         if cfg.addition_in_dim is not None:

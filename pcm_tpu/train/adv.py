@@ -29,6 +29,7 @@ from .distill import (
     DistillConfig,
     _apply_updates,
     _grad_norm,
+    accumulate_grads,
     ddim_model_pred,
     ddim_prepare,
     flow_model_pred,
@@ -119,6 +120,7 @@ def build_ddim_adv_steps(
     disc: Discriminator,
     tx_g,
     tx_d,
+    grad_accum_steps: int = 1,
 ) -> Tuple[Callable, Callable]:
     """Returns (g_step, d_step). The training loop alternates them, each on a
     fresh batch, exactly like the reference's step-parity switch."""
@@ -128,69 +130,75 @@ def build_ddim_adv_steps(
     # SDXL's discriminator taps down+mid only -> skip the up blocks entirely
     stop_after_mid = not any(t.startswith("up") for t in disc.cfg.taps)
 
-    def g_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
-        rng = jax.random.fold_in(rng, g_state.step)
-        rng, r_adv = jax.random.split(rng)
-        parts = ddim_prepare(
-            bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, batch, rng
-        )
-        r_t, r_fake, _ = jax.random.split(r_adv, 3)
+    def _sample_adv_t(parts, r_t):
         bsz = parts["end_t"].shape[0]
         span = schedule.num_train_timesteps // cfg.multiphase
-        adv_t = jnp.minimum(
+        return jnp.minimum(
             parts["end_t"] + jax.random.randint(r_t, (bsz,), 0, span),
             schedule.num_train_timesteps - 1,
         )
-        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
 
-        def loss_fn(lora):
-            model_pred = ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
-            cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
-            fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
-            feats = bundle.teacher_features(
-                frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+    def g_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, g_state.step)
+
+        def grad_fn(mb, r):
+            r, r_adv = jax.random.split(r)
+            parts = ddim_prepare(
+                bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, mb, r
             )
-            logits = disc.apply({"params": d_state.params}, feats)
-            g = hinge_g_loss(logits)
-            return cm + adv.adv_weight * g, (cm, g)
+            r_t, r_fake, _ = jax.random.split(r_adv, 3)
+            adv_t = _sample_adv_t(parts, r_t)
+            eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
 
-        (loss, (cm, g)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
+            def loss_fn(lora):
+                model_pred = ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+                cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+                fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
+                feats = bundle.teacher_features(
+                    frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+                )
+                logits = disc.apply({"params": d_state.params}, feats)
+                g = hinge_g_loss(logits)
+                return cm + adv.adv_weight * g, (cm, g)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
+
+        (loss, (cm, g)), grads = accumulate_grads(grad_fn, batch, rng, grad_accum_steps)
         new_state = _apply_updates(g_state, grads, tx_g)
         return new_state, {"loss": loss, "loss_cm": cm, "g_loss": g, "grad_norm": _grad_norm(grads)}
 
     def d_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
         rng = jax.random.fold_in(jax.random.fold_in(rng, d_state.step), 7)
-        rng, r_adv = jax.random.split(rng)
-        parts = ddim_prepare(
-            bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, batch, rng
-        )
-        r_t, r_fake, r_real = jax.random.split(r_adv, 3)
-        bsz = parts["end_t"].shape[0]
-        span = schedule.num_train_timesteps // cfg.multiphase
-        adv_t = jnp.minimum(
-            parts["end_t"] + jax.random.randint(r_t, (bsz,), 0, span),
-            schedule.num_train_timesteps - 1,
-        )
-        model_pred = jax.lax.stop_gradient(
-            ddim_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
-        )
-        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
-        eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
-        fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
-        real = schedule.noise_travel(parts["target"], eps_real, parts["end_t"], adv_t)
-        fake_feats = bundle.teacher_features(
-            frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
-        )
-        real_feats = bundle.teacher_features(
-            frozen, real, adv_t, parts["cond"], stop_after_mid=stop_after_mid
-        )
 
-        def loss_fn(dp):
-            fl = disc.apply({"params": dp}, fake_feats)
-            rl = disc.apply({"params": dp}, real_feats)
-            return hinge_d_loss(fl, rl)
+        def grad_fn(mb, r):
+            r, r_adv = jax.random.split(r)
+            parts = ddim_prepare(
+                bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, mb, r
+            )
+            r_t, r_fake, r_real = jax.random.split(r_adv, 3)
+            adv_t = _sample_adv_t(parts, r_t)
+            model_pred = jax.lax.stop_gradient(
+                ddim_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
+            )
+            eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+            eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+            fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
+            real = schedule.noise_travel(parts["target"], eps_real, parts["end_t"], adv_t)
+            fake_feats = bundle.teacher_features(
+                frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+            )
+            real_feats = bundle.teacher_features(
+                frozen, real, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+            )
 
-        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+            def loss_fn(dp):
+                fl = disc.apply({"params": dp}, fake_feats)
+                rl = disc.apply({"params": dp}, real_feats)
+                return hinge_d_loss(fl, rl)
+
+            return jax.value_and_grad(loss_fn)(d_state.params)
+
+        loss, grads = accumulate_grads(grad_fn, batch, rng, grad_accum_steps)
         new_state = _apply_updates(d_state, grads, tx_d)
         return new_state, {"d_loss": loss, "d_grad_norm": _grad_norm(grads)}
 
@@ -210,6 +218,7 @@ def build_flow_adv_steps(
     disc: Discriminator,
     tx_g,
     tx_d,
+    grad_accum_steps: int = 1,
 ) -> Tuple[Callable, Callable]:
     solver = PhasedEulerSolver.create(schedule, cfg.num_solver_steps)
     span = cfg.num_solver_steps // cfg.multiphase
@@ -230,45 +239,53 @@ def build_flow_adv_steps(
 
     def g_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
         rng = jax.random.fold_in(rng, g_state.step)
-        rng, r_adv = jax.random.split(rng)
-        parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, batch, rng)
-        sig_end, sig_adv, t_adv, r_fake, _ = _adv_setup(parts, r_adv)
-        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
 
-        def loss_fn(lora):
-            model_pred = flow_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
-            cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
-            fake = _renoise(model_pred, eps_fake, sig_end, sig_adv)
-            feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
-            logits = disc.apply({"params": d_state.params}, feats)
-            g = hinge_g_loss(logits)
-            return cm + adv.adv_weight * g, (cm, g)
+        def grad_fn(mb, r):
+            r, r_adv = jax.random.split(r)
+            parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, mb, r)
+            sig_end, sig_adv, t_adv, r_fake, _ = _adv_setup(parts, r_adv)
+            eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
 
-        (loss, (cm, g)), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
+            def loss_fn(lora):
+                model_pred = flow_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+                cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+                fake = _renoise(model_pred, eps_fake, sig_end, sig_adv)
+                feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
+                logits = disc.apply({"params": d_state.params}, feats)
+                g = hinge_g_loss(logits)
+                return cm + adv.adv_weight * g, (cm, g)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
+
+        (loss, (cm, g)), grads = accumulate_grads(grad_fn, batch, rng, grad_accum_steps)
         new_state = _apply_updates(g_state, grads, tx_g)
         return new_state, {"loss": loss, "loss_cm": cm, "g_loss": g, "grad_norm": _grad_norm(grads)}
 
     def d_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
         rng = jax.random.fold_in(jax.random.fold_in(rng, d_state.step), 7)
-        rng, r_adv = jax.random.split(rng)
-        parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, batch, rng)
-        sig_end, sig_adv, t_adv, r_fake, r_real = _adv_setup(parts, r_adv)
-        model_pred = jax.lax.stop_gradient(
-            flow_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
-        )
-        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
-        eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
-        fake = _renoise(model_pred, eps_fake, sig_end, sig_adv)
-        real = _renoise(parts["target"], eps_real, sig_end, sig_adv)
-        fake_feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
-        real_feats = bundle.teacher_features(frozen, real, t_adv, parts["cond"])
 
-        def loss_fn(dp):
-            fl = disc.apply({"params": dp}, fake_feats)
-            rl = disc.apply({"params": dp}, real_feats)
-            return hinge_d_loss(fl, rl)
+        def grad_fn(mb, r):
+            r, r_adv = jax.random.split(r)
+            parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, mb, r)
+            sig_end, sig_adv, t_adv, r_fake, r_real = _adv_setup(parts, r_adv)
+            model_pred = jax.lax.stop_gradient(
+                flow_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
+            )
+            eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+            eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+            fake = _renoise(model_pred, eps_fake, sig_end, sig_adv)
+            real = _renoise(parts["target"], eps_real, sig_end, sig_adv)
+            fake_feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
+            real_feats = bundle.teacher_features(frozen, real, t_adv, parts["cond"])
 
-        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+            def loss_fn(dp):
+                fl = disc.apply({"params": dp}, fake_feats)
+                rl = disc.apply({"params": dp}, real_feats)
+                return hinge_d_loss(fl, rl)
+
+            return jax.value_and_grad(loss_fn)(d_state.params)
+
+        loss, grads = accumulate_grads(grad_fn, batch, rng, grad_accum_steps)
         new_state = _apply_updates(d_state, grads, tx_d)
         return new_state, {"d_loss": loss, "d_grad_norm": _grad_norm(grads)}
 

@@ -69,6 +69,46 @@ def _apply_updates(state: TrainState, grads, tx) -> TrainState:
     return state.replace(step=state.step + 1, params=params, opt_state=opt_state)
 
 
+def accumulate_grads(grad_fn, batch, rng, accum: int):
+    """Gradient accumulation: split ``batch`` into ``accum`` microbatches along
+    axis 0, run ``grad_fn(microbatch, rng_i)`` under ``lax.scan``, and average
+    the full (aux, grads) output tree.
+
+    TPU-native replacement for the reference's ``accelerator.accumulate``
+    context (`train_pcm_lora_sd15.py:1117`, SURVEY.md §2c): one optimizer step
+    per ``accum`` microbatches at 1/accum the activation memory. Each
+    microbatch draws fresh noise/timesteps from its own fold of ``rng``, same
+    as the reference's per-forward sampling.
+    """
+    if accum <= 1:
+        return grad_fn(batch, rng)
+
+    def split(x):
+        if x.shape[0] % accum:
+            raise ValueError(
+                f"batch axis {x.shape[0]} not divisible by grad_accum_steps={accum}"
+            )
+        # interleaved split (microbatch a = rows a::accum): under a
+        # data-sharded mesh each device's contiguous rows land in its own
+        # shard of every microbatch, so the split needs no collective
+        # (a contiguous reshape would re-shard each microbatch across devices)
+        return jnp.swapaxes(x.reshape((x.shape[0] // accum, accum) + x.shape[1:]), 0, 1)
+
+    micro = jax.tree.map(split, batch)
+    rngs = jax.random.split(rng, accum)
+    first = jax.tree.map(lambda x: x[0], micro)
+    zero = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(grad_fn, first, rngs[0])
+    )
+
+    def body(carry, inp):
+        mb, r = inp
+        return jax.tree.map(lambda a, o: a + o, carry, grad_fn(mb, r)), None
+
+    total, _ = jax.lax.scan(body, zero, (micro, rngs))
+    return jax.tree.map(lambda t: t / accum, total)
+
+
 # ---------------------------------------------------------------------------
 # epsilon / DDIM family (SD1.5, SDXL)
 # ---------------------------------------------------------------------------
@@ -132,7 +172,7 @@ def ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts):
 
 
 def build_ddim_distill_step(
-    bundle, schedule: DDPMSchedule, cfg: DistillConfig, tx
+    bundle, schedule: DDPMSchedule, cfg: DistillConfig, tx, grad_accum_steps: int = 1
 ) -> Callable:
     """Epsilon-space (SD1.5/SDXL) consistency-only distillation step."""
     solver = PhasedDDIMSolver.create(schedule, cfg.num_solver_steps)
@@ -140,15 +180,19 @@ def build_ddim_distill_step(
 
     def step(state: TrainState, frozen, batch, rng) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(rng, state.step)
-        parts = ddim_prepare(
-            bundle, schedule, solver, boundaries, cfg, frozen, state.params, batch, rng
-        )
 
-        def loss_fn(lora):
-            model_pred = ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
-            return consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+        def grad_fn(mb, r):
+            parts = ddim_prepare(
+                bundle, schedule, solver, boundaries, cfg, frozen, state.params, mb, r
+            )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            def loss_fn(lora):
+                model_pred = ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+                return consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+
+            return jax.value_and_grad(loss_fn)(state.params)
+
+        loss, grads = accumulate_grads(grad_fn, batch, rng, grad_accum_steps)
         new_state = _apply_updates(state, grads, tx)
         return new_state, {"loss": loss, "grad_norm": _grad_norm(grads)}
 
@@ -213,20 +257,24 @@ def flow_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts):
 
 
 def build_flow_distill_step(
-    bundle, schedule: FlowSchedule, cfg: DistillConfig, tx
+    bundle, schedule: FlowSchedule, cfg: DistillConfig, tx, grad_accum_steps: int = 1
 ) -> Callable:
     """Flow-matching (SD3) consistency-only distillation step."""
     solver = PhasedEulerSolver.create(schedule, cfg.num_solver_steps)
 
     def step(state: TrainState, frozen, batch, rng) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(rng, state.step)
-        parts = flow_prepare(bundle, schedule, solver, cfg, frozen, state.params, batch, rng)
 
-        def loss_fn(lora):
-            model_pred = flow_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
-            return consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+        def grad_fn(mb, r):
+            parts = flow_prepare(bundle, schedule, solver, cfg, frozen, state.params, mb, r)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            def loss_fn(lora):
+                model_pred = flow_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+                return consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+
+            return jax.value_and_grad(loss_fn)(state.params)
+
+        loss, grads = accumulate_grads(grad_fn, batch, rng, grad_accum_steps)
         new_state = _apply_updates(state, grads, tx)
         return new_state, {"loss": loss, "grad_norm": _grad_norm(grads)}
 

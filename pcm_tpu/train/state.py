@@ -37,9 +37,12 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: Optional[int] = None,
     schedule: str = "constant",
+    use_8bit: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clipping, mirroring the reference recipes
-    (`train_pcm_lora_sd15.py:985-991`, clip at :1298)."""
+    (`train_pcm_lora_sd15.py:985-991`, clip at :1298). ``use_8bit`` swaps in
+    the blockwise int8-state AdamW (ref ``--use_8bit_adam`` / bnb AdamW8bit,
+    `train_pcm_lora_sd15.py:972-982`)."""
     if schedule == "constant":
         lr_schedule = optax.join_schedules(
             [optax.linear_schedule(0.0, lr, max(warmup_steps, 1)), optax.constant_schedule(lr)],
@@ -55,7 +58,15 @@ def make_optimizer(
     chain = []
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(
-        optax.adamw(lr_schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
-    )
+    if use_8bit:
+        from .optim8bit import scale_by_adam_8bit
+
+        chain.append(scale_by_adam_8bit(b1, b2, eps))
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.scale_by_learning_rate(lr_schedule))
+    else:
+        chain.append(
+            optax.adamw(lr_schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+        )
     return optax.chain(*chain)

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--multihost", action="store_true")
     ap.add_argument("--dataloader-workers", type=int, default=16)
     ap.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    ap.add_argument("--use-8bit-adam", action="store_true",
+                    help="blockwise int8 Adam moments (ref --use_8bit_adam)")
     ap.add_argument("--validation-prompts", nargs="*", default=[
         "portrait photo of a girl, photograph, highly detailed face, depth of field",
         "Self-portrait oil painting, a beautiful cyborg with golden hair, 8k",
@@ -112,11 +114,11 @@ def main():
     n_dev = jax.device_count()
     mesh = make_mesh(data=n_dev, fsdp=1) if n_dev > 1 else None
 
-    import optax
-
-    tx_g = make_optimizer(recipe.lr, max_grad_norm=1.0)
-    if args.gradient_accumulation_steps > 1:
-        tx_g = optax.MultiSteps(tx_g, args.gradient_accumulation_steps)
+    # grad accumulation is scan-based inside the jitted step (one optimizer
+    # update per `step()` call, microbatch-sized activations), replacing the
+    # reference's accelerator.accumulate — see train/distill.py:accumulate_grads
+    accum = args.gradient_accumulation_steps
+    tx_g = make_optimizer(recipe.lr, max_grad_norm=1.0, use_8bit=args.use_8bit_adam)
     g_state = TrainState.create(lora, tx_g)
 
     # --- data ---
@@ -134,7 +136,7 @@ def main():
     else:
         toks = {k: HashTokenizer() for k in tok_keys}
     collate = make_collate(toks, res, sdxl=(recipe.family == "sdxl"))
-    global_batch = batch * (n_dev if mesh is not None else 1)
+    global_batch = batch * accum * (n_dev if mesh is not None else 1)
     loader = DataLoader(ds, global_batch, collate, num_workers=args.dataloader_workers,
                         seed=args.seed)
 
@@ -191,13 +193,14 @@ def main():
         tx_d = make_optimizer(recipe.adv_lr, b1=0.0, max_grad_norm=1.0)
         d_state = TrainState.create(d_params, tx_d)
         steps = build_adv(
-            bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight), disc, tx_g, tx_d
+            bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight), disc, tx_g, tx_d,
+            grad_accum_steps=accum,
         )
         trainer = Trainer(
             loop_cfg, frozen, g_state, adv_steps=steps, d_state=d_state, mesh=mesh
         )
     else:
-        step_fn = build_plain(bundle, schedule, recipe.distill, tx_g)
+        step_fn = build_plain(bundle, schedule, recipe.distill, tx_g, grad_accum_steps=accum)
         trainer = Trainer(loop_cfg, frozen, g_state, step_fn=step_fn, mesh=mesh)
 
     if mesh is not None:

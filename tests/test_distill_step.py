@@ -91,6 +91,62 @@ def test_sd15_distill_step_data_parallel():
     assert state2.params is not None
 
 
+def test_grad_accumulation_matches_manual_average():
+    """accumulate_grads == mean over manually-run microbatches (same rngs)."""
+    from pcm_tpu.train.distill import accumulate_grads
+
+    bundle, frozen, state, _ = _sd15_setup()
+    schedule = make_ddpm_schedule()
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2, w_min=4, w_max=5)
+    from pcm_tpu.core.losses import consistency_loss
+    from pcm_tpu.core.solver import PhasedDDIMSolver, phase_boundaries
+    from pcm_tpu.train.distill import ddim_model_pred, ddim_prepare
+
+    solver = PhasedDDIMSolver.create(schedule, cfg.num_solver_steps)
+    boundaries = jnp.asarray(phase_boundaries(cfg.num_solver_steps, cfg.multiphase))
+
+    def grad_fn(mb, r):
+        parts = ddim_prepare(
+            bundle, schedule, solver, boundaries, cfg, frozen, state.params, mb, r
+        )
+
+        def loss_fn(lora):
+            mp = ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+            return consistency_loss(mp, parts["target"], cfg.loss_type, cfg.huber_c)
+
+        return jax.value_and_grad(loss_fn)(state.params)
+
+    batch = _sd15_batch(bsz=4)
+    rng = jax.random.PRNGKey(3)
+    accum = 2
+    loss_acc, grads_acc = jax.jit(lambda b, r: accumulate_grads(grad_fn, b, r, accum))(batch, rng)
+
+    # manual: interleaved microbatches, per-microbatch rng split, averaged
+    rngs = jax.random.split(rng, accum)
+    outs = [grad_fn(jax.tree.map(lambda x: x[a::accum], batch), rngs[a]) for a in range(accum)]
+    loss_ref = np.mean([float(o[0]) for o in outs])
+    grads_ref = jax.tree.map(lambda *g: sum(g) / accum, *[o[1] for o in outs])
+
+    np.testing.assert_allclose(float(loss_acc), loss_ref, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(grads_acc), jax.tree.leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_grad_accum_step_runs_data_parallel():
+    """Full accumulating step over the 8-device mesh (accum=2, global batch 16)."""
+    bundle, frozen, state, _ = _sd15_setup()
+    tx = make_optimizer(1e-3)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2, w_min=4, w_max=5)
+    step = build_ddim_distill_step(bundle, make_ddpm_schedule(), cfg, tx, grad_accum_steps=2)
+    mesh = make_mesh(data=8, fsdp=1)
+    batch = shard_batch(_sd15_batch(bsz=16), mesh)
+    state = replicate(state, mesh)
+    frozen_r = replicate(frozen, mesh)
+    state2, metrics = jax.jit(step)(state, frozen_r, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
 def test_sd3_flow_distill_step():
     # 2x CLIP hidden (12+12=24) pads to joint dim 32; pooled 16+16=32; T5 d_model = 32
     clip_sd3 = CLIPTextConfig(

@@ -39,6 +39,29 @@ def test_unet_forward_and_features(tiny_unet):
     assert set(f.keys()) == {"down_0", "down_1", "mid", "up_0", "up_1"}
 
 
+def test_unet_guidance_scale_conditioning():
+    """LCM-style timestep_cond input (ref guidance_scale_embedding,
+    `train_pcm_lora_sd15.py:211-237`): enabled via time_cond_proj_dim, it must
+    change the output; a zero embedding must not."""
+    import dataclasses
+
+    from pcm_tpu.core.schedule import guidance_scale_embedding
+
+    cfg = dataclasses.replace(TINY_UNET_CONFIG, time_cond_proj_dim=8)
+    m = UNet2DCondition(cfg)
+    x = jnp.ones((2, 16, 16, 4))
+    t = jnp.asarray([10.0, 500.0])
+    ctx = jnp.ones((2, 7, 32))
+    w_emb = guidance_scale_embedding(jnp.asarray([4.0, 7.5]), 8)
+    assert w_emb.shape == (2, 8)
+    vars_ = m.init(jax.random.PRNGKey(0), x, t, ctx, timestep_cond=w_emb)
+    out_w = m.apply(vars_, x, t, ctx, timestep_cond=w_emb)
+    out_0 = m.apply(vars_, x, t, ctx, timestep_cond=jnp.zeros((2, 8)))
+    out_none = m.apply(vars_, x, t, ctx)
+    assert float(jnp.max(jnp.abs(out_w - out_0))) > 1e-6
+    np.testing.assert_allclose(np.asarray(out_0), np.asarray(out_none), rtol=1e-5, atol=1e-5)
+
+
 def test_unet_lora_grads_nonzero_and_base_frozen(tiny_unet):
     m, vars_, (x, t, ctx) = tiny_unet
 
