@@ -19,7 +19,8 @@ from ..train.bundles import SD3Bundle, SD15Bundle, SDXLBundle, SD_UNET_LORA_TARG
 from ..train.distill import DistillConfig
 
 
-def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True) -> SD15Bundle:
+def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
+                remat_policy=None, remat_levels=None) -> SD15Bundle:
     return SD15Bundle(
         unet_cfg=SD15_CONFIG,
         vae_cfg=SD15_VAE_CONFIG,
@@ -27,10 +28,13 @@ def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True) -> 
         lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=SD_UNET_LORA_TARGETS),
         dtype=dtype,
         remat=remat,
+        remat_policy=remat_policy,
+        remat_levels=remat_levels,
     )
 
 
-def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True) -> SDXLBundle:
+def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
+                remat_policy=None, remat_levels=None) -> SDXLBundle:
     return SDXLBundle(
         unet_cfg=SDXL_CONFIG,
         vae_cfg=SDXL_VAE_CONFIG,
@@ -39,11 +43,14 @@ def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True) -> 
         lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=SD_UNET_LORA_TARGETS),
         dtype=dtype,
         remat=remat,
+        remat_policy=remat_policy,
+        remat_levels=remat_levels,
     )
 
 
 def sd3_bundle(
-    lora_rank: int = 32, dtype=jnp.bfloat16, remat: bool = True, adv_targets: bool = False
+    lora_rank: int = 32, dtype=jnp.bfloat16, remat: bool = True, adv_targets: bool = False,
+    remat_policy=None,
 ) -> SD3Bundle:
     clip_l = dataclasses.replace(CLIP_L_CONFIG, projection_dim=768)
     return SD3Bundle(
@@ -59,6 +66,7 @@ def sd3_bundle(
         ),
         dtype=dtype,
         remat=remat,
+        remat_policy=remat_policy,
     )
 
 

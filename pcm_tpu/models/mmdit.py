@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..lora.layers import LoRADense, LoRASpec, NO_LORA
 from ..ops import flash_attention
+from ..ops.common import resolve_remat_policy
 from .embeddings import PatchEmbed, PixArtAlphaTextProjection, sinusoidal_embedding
 
 
@@ -178,6 +179,7 @@ class MMDiT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora: LoRASpec = NO_LORA
     remat: bool = False
+    remat_policy: Optional[str] = None  # see ops/common.py:resolve_remat_policy
 
     @nn.compact
     def __call__(
@@ -208,7 +210,10 @@ class MMDiT(nn.Module):
             cfg.inner_dim, dtype=self.dtype, lora=self.lora, name="context_embedder"
         )(encoder_hidden_states.astype(self.dtype))
 
-        Block = nn.remat(JointTransformerBlock) if self.remat else JointTransformerBlock
+        remat_kw = (
+            {"policy": resolve_remat_policy(self.remat_policy)} if self.remat_policy else {}
+        )
+        Block = nn.remat(JointTransformerBlock, **remat_kw) if self.remat else JointTransformerBlock
         for i in range(cfg.num_layers):
             x, context = Block(
                 cfg,

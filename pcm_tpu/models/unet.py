@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..lora.layers import LoRAConv, LoRASpec, NO_LORA
+from ..ops.common import resolve_remat_policy
 from .attention import Transformer2D
 from .embeddings import TimestepEmbedding, sinusoidal_embedding
 from .normalization import GroupNorm
@@ -93,6 +94,16 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora: LoRASpec = NO_LORA
     remat: bool = False  # rematerialize resnet/transformer blocks (1024px memory)
+    # None = recompute everything in bwd (min memory); "dots" = keep matmul
+    # outputs resident and recompute only cheap elementwise ops (faster bwd,
+    # more HBM) — jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    remat_policy: Optional[str] = None
+    # per-resolution-level remat mask (len == len(block_out_channels)); None =
+    # remat every level. (True, True, False) remats only the two high-res
+    # levels — their activations dominate HBM while the deep low-res
+    # transformer stack dominates FLOPs, so this buys most of the no-remat
+    # speed at a fraction of the memory (v5e measurements in bench.py)
+    remat_levels: Optional[Tuple[bool, ...]] = None
 
     @nn.compact
     def __call__(
@@ -108,8 +119,15 @@ class UNet2DCondition(nn.Module):
         cfg = self.cfg
         lora = self.lora
         ch0 = cfg.block_out_channels[0]
-        Resnet = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
-        Transformer = nn.remat(Transformer2D) if self.remat else Transformer2D
+        remat_kw = {"policy": resolve_remat_policy(self.remat_policy)} if self.remat_policy else {}
+
+        def blocks_for(level: int):
+            do = self.remat and (
+                self.remat_levels is None or self.remat_levels[level]
+            )
+            if do:
+                return nn.remat(ResnetBlock2D, **remat_kw), nn.remat(Transformer2D, **remat_kw)
+            return ResnetBlock2D, Transformer2D
 
         # --- time embedding (fp32 sinusoid, then model dtype MLP) ---
         t_emb = sinusoidal_embedding(timesteps, ch0).astype(self.dtype)
@@ -142,6 +160,7 @@ class UNet2DCondition(nn.Module):
         num_levels = len(cfg.block_out_channels)
         for level, ch in enumerate(cfg.block_out_channels):
             prefix = f"down_blocks_{level}"
+            Resnet, Transformer = blocks_for(level)
             for j in range(cfg.layers_per_block):
                 h = Resnet(
                     ch, cfg.norm_groups, dtype=self.dtype, lora=lora,
@@ -168,6 +187,7 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         ch = cfg.block_out_channels[-1]
+        Resnet, Transformer = blocks_for(num_levels - 1)
         h = Resnet(
             ch, cfg.norm_groups, dtype=self.dtype, lora=lora, name="mid_block_resnets_0"
         )(h, temb)
@@ -192,6 +212,7 @@ class UNet2DCondition(nn.Module):
         for up_idx, level in enumerate(reversed(range(num_levels))):
             ch = cfg.block_out_channels[level]
             prefix = f"up_blocks_{up_idx}"
+            Resnet, Transformer = blocks_for(level)
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)

@@ -39,3 +39,46 @@ def cdiv(a: int, b: int) -> int:
 def interpret_default() -> bool:
     """Run kernels in interpreter mode when no TPU is present (CPU tests)."""
     return jax.default_backend() != "tpu"
+
+
+def resolve_remat_policy(name):
+    """Map a policy name to a jax.checkpoint policy for nn.remat.
+
+    "dots": keep matmul/einsum outputs resident across the bwd pass and
+    recompute only the cheap elementwise/norm ops — trades HBM for a much
+    cheaper recompute than the default save-nothing policy. Convs are still
+    recomputed (they are not dots), which is the right trade for UNets where
+    the transformer stacks dominate FLOPs.
+    """
+    if name is None:
+        return None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_small": _dots_below(16 * 2**20),
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+    }
+    return policies[name]
+
+
+def _dots_below(max_bytes: int):
+    """Checkpoint policy: save non-batched dot_general outputs no larger than
+    ``max_bytes``; recompute everything else. The wide GEGLU inner projections
+    (e.g. 4096x5120 bf16 = 40MB each) are cheap to recompute but dominate
+    saved-residual HBM under plain dots_saveable — capping the saved size keeps
+    the fast-backward benefit within the v5e's 16G budget."""
+    import numpy as np
+    from jax import lax
+
+    def policy(prim, *avals, **params):
+        if prim is not lax.dot_general_p:
+            return False
+        (_, _), (lhs_b, rhs_b) = params["dimension_numbers"]
+        if lhs_b or rhs_b:
+            return False
+        out = prim.abstract_eval(*avals, **params)
+        aval = out[0] if isinstance(out, tuple) else out
+        if isinstance(aval, (list, tuple)):
+            aval = aval[0]
+        return int(np.prod(aval.shape)) * aval.dtype.itemsize <= max_bytes
+
+    return policy

@@ -54,13 +54,19 @@ class SD15Bundle:
     lora: LoRASpec
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
+    remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
 
     def __post_init__(self):
         object.__setattr__(
-            self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat)
+            self, "_student",
+            UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat,
+                            self.remat_policy, self.remat_levels),
         )
         object.__setattr__(
-            self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat)
+            self, "_teacher",
+            UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat,
+                            self.remat_policy, self.remat_levels),
         )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
@@ -137,13 +143,19 @@ class SDXLBundle:
     lora: LoRASpec
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
+    remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
 
     def __post_init__(self):
         object.__setattr__(
-            self, "_student", UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat)
+            self, "_student",
+            UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat,
+                            self.remat_policy, self.remat_levels),
         )
         object.__setattr__(
-            self, "_teacher", UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat)
+            self, "_teacher",
+            UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat,
+                            self.remat_policy, self.remat_levels),
         )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
@@ -232,13 +244,16 @@ class SD3Bundle:
     lora: LoRASpec
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
 
     def __post_init__(self):
         object.__setattr__(
-            self, "_student", MMDiT(self.mmdit_cfg, self.dtype, self.lora, self.remat)
+            self, "_student",
+            MMDiT(self.mmdit_cfg, self.dtype, self.lora, self.remat, self.remat_policy),
         )
         object.__setattr__(
-            self, "_teacher", MMDiT(self.mmdit_cfg, self.dtype, NO_LORA, self.remat)
+            self, "_teacher",
+            MMDiT(self.mmdit_cfg, self.dtype, NO_LORA, self.remat, self.remat_policy),
         )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))

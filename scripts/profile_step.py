@@ -81,11 +81,13 @@ def main():
     dt = timeit(student, frozen, lora, x, t)
     print(f"student fwd (no grad, bs{b}):   {dt*1000:8.1f} ms")
 
-    def loss(l, x_, t_):
-        return jnp.sum(bundle.student(frozen, l, x_, t_, cond).astype(jnp.float32) ** 2)
+    def loss(l, f, x_, t_):
+        # frozen passed as an arg — closing over it would bake 5GB of
+        # constants into the lowered graph
+        return jnp.sum(bundle.student(f, l, x_, t_, cond).astype(jnp.float32) ** 2)
 
     g = jax.jit(jax.grad(loss))
-    dt = timeit(g, lora, x, t)
+    dt = timeit(g, lora, frozen, x, t)
     print(f"student fwd+bwd (remat, bs{b}): {dt*1000:8.1f} ms")
 
     from pcm_tpu.models.vae import AutoencoderKL

@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--gradient-accumulation-steps", type=int, default=1)
     ap.add_argument("--use-8bit-adam", action="store_true",
                     help="blockwise int8 Adam moments (ref --use_8bit_adam)")
+    ap.add_argument("--remat", default="full", choices=["full", "dots", "dots_small", "none"],
+                    help="gradient checkpointing: full=min memory, dots/dots_small="
+                         "keep (small) matmul outputs for a faster bwd, "
+                         "none=fastest (needs HBM)")
     ap.add_argument("--validation-prompts", nargs="*", default=[
         "portrait photo of a girl, photograph, highly detailed face, depth of field",
         "Self-portrait oil painting, a beautiful cyborg with golden hair, 8k",
@@ -56,6 +60,9 @@ def main():
 
     if args.multihost:
         jax.distributed.initialize()
+
+    use_remat = args.remat != "none"
+    policy = args.remat if args.remat in ("dots", "dots_small") else None
 
     from pcm_tpu.configs.families import RECIPES, sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
@@ -83,19 +90,20 @@ def main():
 
     # --- bundle + schedule ---
     if recipe.family == "sd15":
-        bundle = sd15_bundle(recipe.lora_rank)
+        bundle = sd15_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SD15_DISC_CONFIG
         tok_keys = ["input_ids"]
     elif recipe.family == "sdxl":
-        bundle = sdxl_bundle(recipe.lora_rank)
+        bundle = sdxl_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SDXL_DISC_CONFIG
         tok_keys = ["input_ids", "input_ids_2"]
     else:
-        bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial)
+        bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial,
+                            remat=use_remat, remat_policy=policy)
         schedule = make_flow_schedule(shift=3.0)
         build_plain, build_adv = build_flow_distill_step, build_flow_adv_steps
         disc_cfg = SD3_DISC_CONFIG

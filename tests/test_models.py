@@ -81,6 +81,33 @@ def test_unet_lora_grads_nonzero_and_base_frozen(tiny_unet):
             assert s == 0, f"unexpected nonzero A grad at init for {key}"
 
 
+def test_unet_remat_policy_equivalence(tiny_unet):
+    """remat (any policy) must not change outputs or grads vs no remat."""
+    m, vars_, (x, t, ctx) = tiny_unet
+
+    def make(remat, policy, levels=None):
+        mm = UNet2DCondition(
+            TINY_UNET_CONFIG, lora=m.lora, remat=remat, remat_policy=policy,
+            remat_levels=levels,
+        )
+
+        def loss(lora_params):
+            out = mm.apply({"params": vars_["params"], "lora": lora_params}, x, t, ctx)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))
+
+    base_l, base_g = make(False, None)(vars_["lora"])
+    for policy, levels in (
+        (None, None), ("dots", None), ("dots_small", None), (None, (True, False)),
+    ):
+        l, g = make(True, policy, levels)(vars_["lora"])
+        np.testing.assert_allclose(float(l), float(base_l), rtol=1e-5)
+        # recompute reorders fp reductions; tolerance covers fusion jitter
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(base_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
 def test_unet_teacher_student_share_params(tiny_unet):
     m, vars_, (x, t, ctx) = tiny_unet
     out_student = m.apply(vars_, x, t, ctx)
