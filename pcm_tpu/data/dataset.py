@@ -181,3 +181,55 @@ def make_collate(tokenizers: Dict[str, Callable], resolution: int, sdxl: bool = 
         return batch
 
     return collate
+
+
+class CachedLatentsDataset:
+    """Dataset over precomputed VAE latents / text embeddings (npz shards).
+
+    Cache layout (written by ``scripts/cache_latents.py``): a directory of
+    ``shard_*.npz`` files, each holding same-length arrays per key — at least
+    ``latents``; optionally ``prompt_embeds``, ``pooled_embeds``, ``time_ids``.
+    Batches produced from it feed the same train step — the bundles' ``encode``
+    skips the VAE/text towers when these keys are present (key presence is a
+    static jit property). The reference has no equivalent (it re-encodes every
+    step, `train_pcm_lora_sd15.py:1121-1135`); this is the standard
+    fixed-dataset optimization.
+    """
+
+    def __init__(self, cache_dir: str, keep_shards: int = 2):
+        self.files = sorted(
+            os.path.join(cache_dir, f)
+            for f in os.listdir(cache_dir)
+            if f.startswith("shard_") and f.endswith(".npz")
+        )
+        if not self.files:
+            raise FileNotFoundError(f"no shard_*.npz under {cache_dir}")
+        self._sizes = []
+        for f in self.files:
+            with np.load(f) as z:
+                self._sizes.append(z["latents"].shape[0])
+        self._offsets = np.cumsum([0] + self._sizes)
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        self._keep = keep_shards
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def _shard(self, si: int) -> Dict[str, np.ndarray]:
+        if si not in self._cache:
+            if len(self._cache) >= self._keep:
+                self._cache.pop(next(iter(self._cache)))
+            with np.load(self.files[si]) as z:
+                self._cache[si] = {k: z[k] for k in z.files}
+        return self._cache[si]
+
+    def get(self, idx: int) -> Dict:
+        si = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        shard = self._shard(si)
+        j = idx - self._offsets[si]
+        return {k: v[j] for k, v in shard.items()}
+
+
+def cached_collate(samples: List[Dict]) -> Dict:
+    """Collate for CachedLatentsDataset: stack every key."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}

@@ -101,13 +101,24 @@ class SD15Bundle:
         )
 
     def encode(self, frozen, batch, rng) -> Tuple[jnp.ndarray, Cond, Cond]:
-        _, last, _ = self._text.apply({"params": frozen["text"]}, batch["input_ids"])
-        prompt_embeds = jax.lax.stop_gradient(last)
-        latents = self._vae.apply(
-            {"params": frozen["vae"]}, batch["pixel_values"], rng,
-            method=AutoencoderKL.encode,
-        )
-        latents = jax.lax.stop_gradient(latents)
+        # cached-latents mode: the loader may supply precomputed VAE latents
+        # and/or text embeddings (key presence is static under jit, so each
+        # combination compiles its own step with the encoders sliced out).
+        # The reference always re-encodes per step (sd15 train:1121-1135);
+        # caching is a framework extra for fixed datasets.
+        if "prompt_embeds" in batch:
+            prompt_embeds = batch["prompt_embeds"]
+        else:
+            _, last, _ = self._text.apply({"params": frozen["text"]}, batch["input_ids"])
+            prompt_embeds = jax.lax.stop_gradient(last)
+        if "latents" in batch:
+            latents = batch["latents"]
+        else:
+            latents = self._vae.apply(
+                {"params": frozen["vae"]}, batch["pixel_values"], rng,
+                method=AutoencoderKL.encode,
+            )
+            latents = jax.lax.stop_gradient(latents)
         cond = {"prompt_embeds": prompt_embeds, "added_cond": None}
         uncond = {"prompt_embeds": batch["uncond_embeds"], "added_cond": None}
         return latents, cond, uncond
@@ -201,17 +212,26 @@ class SDXLBundle:
         )
 
     def encode(self, frozen, batch, rng):
-        hidden1, _, _ = self._text.apply({"params": frozen["text"]}, batch["input_ids"])
-        hidden2, _, pooled2 = self._text2.apply({"params": frozen["text2"]}, batch["input_ids_2"])
-        # penultimate hidden states, concat on feature dim (sdxl train:770-809)
-        prompt_embeds = jnp.concatenate([hidden1[-2], hidden2[-2]], axis=-1)
-        prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
-        pooled2 = jax.lax.stop_gradient(pooled2)
-        latents = self._vae.apply(
-            {"params": frozen["vae"]}, batch["pixel_values"], rng,
-            method=AutoencoderKL.encode,
-        )
-        latents = jax.lax.stop_gradient(latents)
+        if "prompt_embeds" in batch:  # cached text embeddings (see SD15Bundle)
+            prompt_embeds = batch["prompt_embeds"]
+            pooled2 = batch["pooled_embeds"]
+        else:
+            hidden1, _, _ = self._text.apply({"params": frozen["text"]}, batch["input_ids"])
+            hidden2, _, pooled2 = self._text2.apply(
+                {"params": frozen["text2"]}, batch["input_ids_2"]
+            )
+            # penultimate hidden states, concat on feature dim (sdxl train:770-809)
+            prompt_embeds = jnp.concatenate([hidden1[-2], hidden2[-2]], axis=-1)
+            prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
+            pooled2 = jax.lax.stop_gradient(pooled2)
+        if "latents" in batch:
+            latents = batch["latents"]
+        else:
+            latents = self._vae.apply(
+                {"params": frozen["vae"]}, batch["pixel_values"], rng,
+                method=AutoencoderKL.encode,
+            )
+            latents = jax.lax.stop_gradient(latents)
         cond = {
             "prompt_embeds": prompt_embeds,
             "added_cond": {"text_embeds": pooled2, "time_ids": batch["time_ids"]},
@@ -304,17 +324,24 @@ class SD3Bundle:
         )
 
     def encode(self, frozen, batch, rng):
-        prompt_embeds, pooled = self._encode_prompt(
-            frozen, batch["input_ids"], batch["input_ids_2"], batch["input_ids_3"]
-        )
-        prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
-        pooled = jax.lax.stop_gradient(pooled)
-        # SD3 keeps the VAE in fp32 (`train_pcm_lora_sd3.py:954`)
-        latents = self._vae.apply(
-            {"params": frozen["vae"]}, batch["pixel_values"], rng,
-            method=AutoencoderKL.encode,
-        )
-        latents = jax.lax.stop_gradient(latents)
+        if "prompt_embeds" in batch:  # cached text embeddings (see SD15Bundle)
+            prompt_embeds = batch["prompt_embeds"]
+            pooled = batch["pooled_embeds"]
+        else:
+            prompt_embeds, pooled = self._encode_prompt(
+                frozen, batch["input_ids"], batch["input_ids_2"], batch["input_ids_3"]
+            )
+            prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
+            pooled = jax.lax.stop_gradient(pooled)
+        if "latents" in batch:
+            latents = batch["latents"]
+        else:
+            # SD3 keeps the VAE in fp32 (`train_pcm_lora_sd3.py:954`)
+            latents = self._vae.apply(
+                {"params": frozen["vae"]}, batch["pixel_values"], rng,
+                method=AutoencoderKL.encode,
+            )
+            latents = jax.lax.stop_gradient(latents)
         cond = {"prompt_embeds": prompt_embeds, "pooled": pooled}
         uncond = {
             "prompt_embeds": batch["uncond_embeds"],

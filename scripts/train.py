@@ -27,7 +27,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--recipe", required=True)
-    ap.add_argument("--train-data-dir", required=True)
+    ap.add_argument("--train-data-dir", default=None)
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--teacher-checkpoint", default=None,
                     help="orbax dir holding the frozen param trees")
@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--multihost", action="store_true")
     ap.add_argument("--dataloader-workers", type=int, default=16)
+    ap.add_argument("--cached-latents-dir", default=None,
+                    help="dir of shard_*.npz from scripts/cache_latents.py; "
+                         "skips VAE/text encoders inside the train step")
     ap.add_argument("--gradient-accumulation-steps", type=int, default=1)
     ap.add_argument("--use-8bit-adam", action="store_true",
                     help="blockwise int8 Adam moments (ref --use_8bit_adam)")
@@ -57,6 +60,8 @@ def main():
         "A photo of beautiful mountain with realistic sunset and blue lake, highly detailed, masterpiece",
     ])
     args = ap.parse_args()
+    if not args.train_data_dir and not args.cached_latents_dir:
+        ap.error("one of --train-data-dir / --cached-latents-dir is required")
 
     if args.multihost:
         jax.distributed.initialize()
@@ -130,20 +135,33 @@ def main():
     g_state = TrainState.create(lora, tx_g)
 
     # --- data ---
-    ds = ImageFolderDataset(
-        args.train_data_dir,
-        resolution=res,
-        crop="random" if recipe.family == "sdxl" else "center",
-        proportion_empty_prompts=recipe.proportion_empty_prompts,
-        seed=args.seed,
-    )
-    if jax.process_count() > 1:
-        ds.files = shard_for_process(ds.files, jax.process_index(), jax.process_count())
+    # tokenizers are needed even in cached-latents mode (one-time uncond
+    # empty-prompt encode below)
     if args.tokenizer_dir:
         toks = {k: HFTokenizer(args.tokenizer_dir) for k in tok_keys}
     else:
         toks = {k: HashTokenizer() for k in tok_keys}
-    collate = make_collate(toks, res, sdxl=(recipe.family == "sdxl"))
+    if args.cached_latents_dir:
+        from pcm_tpu.data.dataset import CachedLatentsDataset, cached_collate
+
+        ds = CachedLatentsDataset(args.cached_latents_dir)
+
+        def collate(samples):
+            b = cached_collate(samples)
+            # npz stores bf16 tensors as fp16; promote for the bf16 cast in-step
+            return {k: v.astype(np.float32) if v.dtype == np.float16 else v
+                    for k, v in b.items()}
+    else:
+        ds = ImageFolderDataset(
+            args.train_data_dir,
+            resolution=res,
+            crop="random" if recipe.family == "sdxl" else "center",
+            proportion_empty_prompts=recipe.proportion_empty_prompts,
+            seed=args.seed,
+        )
+        collate = make_collate(toks, res, sdxl=(recipe.family == "sdxl"))
+    if jax.process_count() > 1:
+        ds.files = shard_for_process(ds.files, jax.process_index(), jax.process_count())
     global_batch = batch * accum * (n_dev if mesh is not None else 1)
     loader = DataLoader(ds, global_batch, collate, num_workers=args.dataloader_workers,
                         seed=args.seed)

@@ -147,6 +147,49 @@ def test_grad_accum_step_runs_data_parallel():
     assert int(state2.step) == 1
 
 
+def test_cached_latents_dataset_and_step(tmp_path):
+    """CachedLatentsDataset round-trip + a distill step fed by cached batches
+    (the bundle's encode must skip VAE/text when latents/prompt_embeds are
+    present and produce the identical step given identical tensors)."""
+    from pcm_tpu.data.dataset import CachedLatentsDataset, cached_collate
+
+    bundle, frozen, state, _ = _sd15_setup()
+    schedule = make_ddpm_schedule()
+    batch = _sd15_batch(bsz=4)
+
+    # reference encode (VAE + CLIP) on the raw batch
+    latents, cond, _ = bundle.encode(frozen, batch, jax.random.PRNGKey(9))
+
+    # write two npz shards of 2 samples each
+    for si in range(2):
+        np.savez(
+            tmp_path / f"shard_{si:05d}.npz",
+            latents=np.asarray(latents[2 * si : 2 * si + 2]),
+            prompt_embeds=np.asarray(cond["prompt_embeds"][2 * si : 2 * si + 2]),
+        )
+    ds = CachedLatentsDataset(str(tmp_path))
+    assert len(ds) == 4
+    cached_batch = cached_collate([ds.get(i) for i in range(4)])
+    np.testing.assert_allclose(cached_batch["latents"], np.asarray(latents))
+
+    # encode() with cached keys returns them untouched (no VAE/text call)
+    cached_batch = {k: jnp.asarray(v) for k, v in cached_batch.items()}
+    cached_batch["uncond_embeds"] = batch["uncond_embeds"]
+    lat2, cond2, _ = bundle.encode(frozen, cached_batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(lat2), np.asarray(latents))
+    np.testing.assert_allclose(
+        np.asarray(cond2["prompt_embeds"]), np.asarray(cond["prompt_embeds"])
+    )
+
+    # a full distill step runs off the cached batch
+    tx = make_optimizer(1e-3)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2, w_min=4, w_max=5)
+    step = build_ddim_distill_step(bundle, schedule, cfg, tx)
+    state2, metrics = jax.jit(step)(state, frozen, cached_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
 def test_sd3_flow_distill_step():
     # 2x CLIP hidden (12+12=24) pads to joint dim 32; pooled 16+16=32; T5 d_model = 32
     clip_sd3 = CLIPTextConfig(
