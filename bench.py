@@ -105,6 +105,44 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
     return bundle, frozen, state, step, batch_data
 
 
+def build_infer(family: str, resolution: int, batch: int, steps: int):
+    """2-step (or k-step) generation throughput: k student forwards + VAE
+    decode through TextToImagePipeline — the deployment path (BASELINE.json
+    '2-step images/sec'). LoRA B factors are zero at random init, so the
+    compiled work is identical to a trained student's."""
+    from pcm_tpu.configs.families import sd15_bundle, sdxl_bundle
+    from pcm_tpu.core import make_ddpm_schedule
+    from pcm_tpu.sampling import DDIMSampler, TextToImagePipeline
+    from pcm_tpu.train.bundles import init_frozen_fast
+
+    bundle = (sdxl_bundle if family == "sdxl" else sd15_bundle)(remat=False)
+    frozen, lora = init_frozen_fast(bundle, seed=0)
+    dev = jax.devices()[0]
+    frozen = jax.device_put(frozen, dev)
+    lora = jax.device_put(lora, dev)
+    jax.block_until_ready(frozen)
+
+    sampler = DDIMSampler.create(make_ddpm_schedule(), steps)
+    pipe = TextToImagePipeline(bundle=bundle, sampler=sampler)
+
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(1, 49000, size=(batch, 77)))
+    if family == "sdxl":
+        time_ids = jnp.tile(
+            jnp.asarray([[resolution, resolution, 0, 0, resolution, resolution]],
+                        jnp.float32), (batch, 1))
+        cond = bundle.encode_prompts(frozen, ids, ids, time_ids)
+    else:
+        cond = bundle.encode_prompts(frozen, ids)
+
+    def run(frozen_, lora_, cond_, key):
+        return pipe.generate(
+            frozen_, lora_, cond_, None, key, resolution // 8, guidance_scale=1.0
+        )
+
+    return frozen, lora, cond, run
+
+
 def main():
     ap = argparse.ArgumentParser()
     # headline config (BASELINE.json metric). NOTE: cold-cache compile of the
@@ -118,7 +156,12 @@ def main():
     ap.add_argument("--remat", default="dots_small",
                 choices=["hybrid", "none", "dots", "dots_small", "full"])
     ap.add_argument("--adam", default="8bit", choices=["8bit", "fp32"])
+    ap.add_argument("--mode", default="train", choices=["train", "infer"])
+    ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     args = ap.parse_args()
+
+    if args.mode == "infer":
+        return main_infer(args)
 
     bundle, frozen, state, step, batch = build(
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam
@@ -167,6 +210,44 @@ def main():
             }
         )
     )
+
+
+def main_infer(args):
+    frozen, lora, cond, run = build_infer(
+        args.family, args.resolution, args.batch, args.steps
+    )
+    t0 = time.time()
+    jrun = jax.jit(run)
+    compiled = jrun.lower(frozen, lora, cond, jax.random.PRNGKey(0)).compile()
+    print(f"# compile: {time.time()-t0:.1f}s", file=sys.stderr)
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+
+    imgs = compiled(frozen, lora, cond, jax.random.PRNGKey(0))
+    jax.block_until_ready(imgs)
+    t0 = time.time()
+    for i in range(args.iters):
+        imgs = compiled(frozen, lora, cond, jax.random.PRNGKey(i))
+    jax.block_until_ready(imgs)
+    dt = (time.time() - t0) / args.iters
+    images_per_sec = args.batch / dt
+    print(f"# batch latency: {dt*1000:.1f}ms", file=sys.stderr)
+    if np.isfinite(flops):
+        # eager fp16 torch inference with xformers utilizes an A800 well;
+        # credit the reference 30% of fp16 peak on the same FLOPs
+        ref = args.batch / (flops / (A800_PEAK_FLOPS * 0.30))
+        vs_baseline = images_per_sec / ref
+        print(f"# flops={flops:.3e}  v5e MFU={flops/dt/197e12:.2%}", file=sys.stderr)
+    else:
+        vs_baseline = float("nan")
+    print(json.dumps({
+        "metric": f"{args.family} {args.resolution}px {args.steps}-step images/sec/chip",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
+    }))
 
 
 if __name__ == "__main__":
