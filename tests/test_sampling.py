@@ -133,3 +133,44 @@ def test_pipeline_end_to_end_tiny():
         lambda f, l, c, r: pipe.generate(f, l, c, None, r, latent_hw=16, guidance_scale=1.0)
     )(frozen, lora, cond, jax.random.PRNGKey(3))
     assert img2.shape == (2, 32, 32, 3)
+
+
+def test_pipeline_data_parallel_mesh():
+    """Sharded batch generation over the 8-virtual-device mesh (the
+    'multi-host sampling eval' path, BASELINE config #5): per-device results
+    must match the unsharded run bit-for-bit up to reduction order."""
+    from pcm_tpu.lora.layers import LoRASpec
+    from pcm_tpu.models.clip import CLIPTextConfig
+    from pcm_tpu.models.unet import TINY_UNET_CONFIG
+    from pcm_tpu.models.vae import TINY_VAE_CONFIG
+    from pcm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from pcm_tpu.train.bundles import SD15Bundle, SD_UNET_LORA_TARGETS
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), 32)
+    pipe = TextToImagePipeline(bundle, DDIMSampler.create(make_ddpm_schedule(), 2))
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 999, size=(8, 16)))
+    cond = bundle.encode_prompts(frozen, ids)
+
+    gen = jax.jit(
+        lambda f, l, c, r: pipe.generate(f, l, c, None, r, latent_hw=16, guidance_scale=1.0)
+    )
+    ref = gen(frozen, lora, cond, jax.random.PRNGKey(3))
+
+    mesh = make_mesh(data=8)
+    img = gen(
+        replicate(frozen, mesh),
+        replicate(lora, mesh),
+        shard_batch(cond, mesh),
+        jax.random.PRNGKey(3),
+    )
+    assert img.shape == (8, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), rtol=2e-3, atol=2e-3)
