@@ -178,17 +178,22 @@ def main():
     except Exception:
         flops_per_step = float("nan")
 
-    # warmup
+    # warmup (axon gotcha: block_until_ready is NOT an execution fence on the
+    # remote backend — only a device->host readback blocks; see
+    # pcm_tpu/utils/profiling.py:device_fence)
     state, m = compiled(state, frozen, batch, rng)
-    jax.block_until_ready(m)
+    loss0 = float(m["loss"])
+    t0 = time.time()
+    _ = float(m["loss"])
+    t_fence = time.time() - t0
 
     t0 = time.time()
     for _ in range(args.iters):
         state, m = compiled(state, frozen, batch, rng)
-    jax.block_until_ready(m)
-    dt = (time.time() - t0) / args.iters
+    _ = float(m["loss"])
+    dt = max(time.time() - t0 - t_fence, 1e-9) / args.iters
     samples_per_sec = args.batch / dt
-    print(f"# step: {dt*1000:.1f}ms  loss={float(m['loss']):.4f}", file=sys.stderr)
+    print(f"# step: {dt*1000:.1f}ms  loss={loss0:.4f}", file=sys.stderr)
 
     # analytic reference estimate (see module docstring)
     if np.isfinite(flops_per_step):
@@ -225,13 +230,20 @@ def main_infer(args):
     except Exception:
         flops = float("nan")
 
+    def fence(x):
+        # real execution fence on the axon backend (block_until_ready is not)
+        return float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
     imgs = compiled(frozen, lora, cond, jax.random.PRNGKey(0))
-    jax.block_until_ready(imgs)
+    fence(imgs)
+    t0 = time.time()
+    fence(imgs)
+    t_fence = time.time() - t0
     t0 = time.time()
     for i in range(args.iters):
         imgs = compiled(frozen, lora, cond, jax.random.PRNGKey(i))
-    jax.block_until_ready(imgs)
-    dt = (time.time() - t0) / args.iters
+    fence(imgs)
+    dt = max(time.time() - t0 - t_fence, 1e-9) / args.iters
     images_per_sec = args.batch / dt
     print(f"# batch latency: {dt*1000:.1f}ms", file=sys.stderr)
     if np.isfinite(flops):

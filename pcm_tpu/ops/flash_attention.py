@@ -31,9 +31,13 @@ from .common import interpret_default, round_up
 NEG_INF = -1e30
 
 
-def _block_sizes(sq: int, sk: int):
-    bq = min(512, round_up(sq, 8))
-    bk = min(512, round_up(sk, 128))
+def _block_sizes(sq: int, sk: int, block_q: Optional[int] = None, block_k: Optional[int] = None):
+    # Defaults measured on v5e with d=64 (scripts/tune_attention.py, fenced
+    # timing): at seq 4096 fwd+bwd 1024/1024 beats 512/512 by 26% (4.68 vs
+    # 6.30 ms) and fwd by 41%; seq 1024 and SD3-joint 4250 also prefer 1024.
+    # 2048-blocks exceed VMEM in the bwd kernels. Overridable per call.
+    bq = min(block_q or 1024, round_up(sq, 8))
+    bk = min(block_k or 1024, round_up(sk, 128))
     return bq, bk
 
 
@@ -83,11 +87,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
         lse_ref[0, 0] = m_scr[:] + jnp.log(l_safe)
 
 
-def _fwd(q, k, v, sm_scale, interpret):
+def _fwd(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
     """q/k/v in (b, h, s, d) layout; returns o (b,h,sq,d), lse (b,h,sq,1)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _block_sizes(sq, sk)
+    bq, bk = _block_sizes(sq, sk, block_q, block_k)
     dp = round_up(d, 128)
     sq_p, sk_p = round_up(sq, bq), round_up(sk, bk)
 
@@ -213,11 +217,11 @@ def _bwd_dq_kernel(
         dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _bwd(sm_scale, interpret, res, g):
+def _bwd(sm_scale, interpret, block_q, block_k, res, g):
     q, k, v, o, lse = res  # all (b, h, s, d); lse (b, h, sq, 1)
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _block_sizes(sq, sk)
+    bq, bk = _block_sizes(sq, sk, block_q, block_k)
     dp = round_up(d, 128)
     sq_p, sk_p = round_up(sq, bq), round_up(sk, bk)
 
@@ -301,14 +305,14 @@ def _bwd(sm_scale, interpret, res, g):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention_bhsd(q, k, v, sm_scale, interpret):
-    o, _ = _fwd(q, k, v, sm_scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_bhsd(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
+    o, _ = _fwd(q, k, v, sm_scale, interpret, block_q, block_k)
     return o
 
 
-def _flash_fwd_rule(q, k, v, sm_scale, interpret):
-    o, lse = _fwd(q, k, v, sm_scale, interpret)
+def _flash_fwd_rule(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
+    o, lse = _fwd(q, k, v, sm_scale, interpret, block_q, block_k)
     return o, (q, k, v, o, lse)
 
 
@@ -321,6 +325,8 @@ def flash_attention(
     v: jnp.ndarray,
     sm_scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Memory-efficient attention over ``(batch, seq, heads, head_dim)``.
 
@@ -339,7 +345,7 @@ def flash_attention(
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
-    o = _flash_attention_bhsd(qt, kt, vt, sm_scale, interpret)
+    o = _flash_attention_bhsd(qt, kt, vt, sm_scale, interpret, block_q, block_k)
     return jnp.transpose(o, (0, 2, 1, 3))
 
 

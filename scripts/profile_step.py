@@ -21,14 +21,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def timeit(fn, *args, iters=5, warmup=1):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    from pcm_tpu.utils.profiling import device_timeit
+
+    return device_timeit(fn, *args, iters=iters, warmup=warmup) / 1000.0
 
 
 def main():
