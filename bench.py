@@ -105,7 +105,8 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
     return bundle, frozen, state, step, batch_data
 
 
-def build_infer(family: str, resolution: int, batch: int, steps: int):
+def build_infer(family: str, resolution: int, batch: int, steps: int,
+                decode_chunk=None):
     """2-step (or k-step) generation throughput: k student forwards + VAE
     decode through TextToImagePipeline — the deployment path (BASELINE.json
     '2-step images/sec'). LoRA B factors are zero at random init, so the
@@ -137,7 +138,8 @@ def build_infer(family: str, resolution: int, batch: int, steps: int):
 
     def run(frozen_, lora_, cond_, key):
         return pipe.generate(
-            frozen_, lora_, cond_, None, key, resolution // 8, guidance_scale=1.0
+            frozen_, lora_, cond_, None, key, resolution // 8, guidance_scale=1.0,
+            decode_chunk=decode_chunk,
         )
 
     return frozen, lora, cond, run
@@ -158,6 +160,9 @@ def main():
     ap.add_argument("--adam", default="8bit", choices=["8bit", "fp32"])
     ap.add_argument("--mode", default="train", choices=["train", "infer"])
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
+    ap.add_argument("--decode-chunk", type=int, default=None,
+                    help="VAE-decode this many samples at a time (infer mode; "
+                         "bounds decoder memory so batch can exceed 4 at 1024px)")
     args = ap.parse_args()
 
     if args.mode == "infer":
@@ -219,7 +224,7 @@ def main():
 
 def main_infer(args):
     frozen, lora, cond, run = build_infer(
-        args.family, args.resolution, args.batch, args.steps
+        args.family, args.resolution, args.batch, args.steps, args.decode_chunk
     )
     t0 = time.time()
     jrun = jax.jit(run)

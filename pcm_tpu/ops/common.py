@@ -5,6 +5,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import functools
+import os
 
 import jax
 
@@ -33,6 +34,19 @@ def round_up(x: int, m: int) -> int:
 
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+@functools.cache
+def pallas_elementwise() -> bool:
+    """Whether GEGLU/GroupNorm use the Pallas kernels on the hot path.
+
+    Default OFF: fenced v5e measurements (scripts/tune_elementwise.py,
+    2026-08-16) show XLA's fused matmul-epilogue GEGLU ~1.9x faster fwd+bwd
+    and its GroupNorm+SiLU faster at 3 of 4 SDXL shapes. Flash attention is
+    unaffected (the Pallas kernel is 6-7x faster than XLA at seq 4096 and is
+    what makes 1024px training fit). Set PCM_PALLAS_ELEMENTWISE=1 to opt in.
+    """
+    return os.environ.get("PCM_PALLAS_ELEMENTWISE", "0") == "1"
 
 
 @functools.cache

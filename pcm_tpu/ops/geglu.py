@@ -128,9 +128,10 @@ def geglu(
 ) -> jnp.ndarray:
     """Fused GEGLU: x (..., K), w (K, 2F), b (2F,) -> (..., F)."""
     if interpret is None:
-        from .common import force_reference_ops
+        from .common import force_reference_ops, pallas_elementwise
 
-        if interpret_default() or force_reference_ops():
+        if interpret_default() or force_reference_ops() or not pallas_elementwise():
+            # XLA epilogue fusion wins here on v5e (see common.pallas_elementwise)
             return geglu_reference(x, w, b)
         interpret = False
     return _geglu(x, w, b, interpret)

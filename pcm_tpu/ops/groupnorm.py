@@ -143,9 +143,10 @@ def group_norm_silu(
     ``x``: (N, *spatial, C); ``gamma``/``beta``: (C,).
     """
     if interpret is None:
-        from .common import force_reference_ops
+        from .common import force_reference_ops, pallas_elementwise
 
-        if interpret_default() or force_reference_ops():
+        if interpret_default() or force_reference_ops() or not pallas_elementwise():
+            # XLA wins at most UNet shapes on v5e (see common.pallas_elementwise)
             return group_norm_silu_reference(x, gamma, beta, num_groups, eps, act)
         interpret = False
     return _group_norm_silu(x, gamma, beta, num_groups, eps, act, interpret)

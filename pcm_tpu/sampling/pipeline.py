@@ -36,6 +36,7 @@ class TextToImagePipeline:
         latent_hw: int,
         guidance_scale: float = 1.0,
         decode: bool = True,
+        decode_chunk: Optional[int] = None,
     ) -> jnp.ndarray:
         """cond/uncond from ``bundle.encode_prompts``; returns images in
         [-1, 1] (or raw latents with ``decode=False``)."""
@@ -76,7 +77,7 @@ class TextToImagePipeline:
 
         if not decode:
             return latents
-        return bundle.decode_latents(frozen, latents)
+        return bundle.decode_latents(frozen, latents, chunk=decode_chunk)
 
 
 def bundle_latent_channels(bundle) -> int:

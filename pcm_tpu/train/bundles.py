@@ -44,6 +44,25 @@ SD_UNET_LORA_TARGETS = (
 Cond = Dict[str, Any]
 
 
+def _decode_chunked(vae, params, latents, chunk: Optional[int]) -> jnp.ndarray:
+    """VAE decode, optionally `lax.map`-ed over batch chunks.
+
+    At 1024px the decoder's activations are ~0.5G/sample; decoding a whole
+    generation batch at once OOMs above bs4 on a 16G chip. Chunking bounds
+    peak decoder memory at `chunk` samples (the batch must divide evenly).
+    """
+    b = latents.shape[0]
+    if not chunk or b <= chunk:
+        return vae.apply({"params": params}, latents, method=AutoencoderKL.decode)
+    if b % chunk:
+        raise ValueError(f"batch {b} not divisible by decode chunk {chunk}")
+    xs = latents.reshape(b // chunk, chunk, *latents.shape[1:])
+    ys = jax.lax.map(
+        lambda z: vae.apply({"params": params}, z, method=AutoencoderKL.decode), xs
+    )
+    return ys.reshape(b, *ys.shape[2:])
+
+
 @dataclasses.dataclass(frozen=True)
 class SD15Bundle:
     """SD1.5: single CLIP-L, last hidden state conditioning."""
@@ -95,10 +114,8 @@ class SD15Bundle:
         _, last, _ = self._text.apply({"params": frozen["text"]}, input_ids)
         return {"prompt_embeds": last, "added_cond": None}
 
-    def decode_latents(self, frozen, latents) -> jnp.ndarray:
-        return self._vae.apply(
-            {"params": frozen["vae"]}, latents, method=AutoencoderKL.decode
-        )
+    def decode_latents(self, frozen, latents, chunk: Optional[int] = None) -> jnp.ndarray:
+        return _decode_chunked(self._vae, frozen["vae"], latents, chunk)
 
     def encode(self, frozen, batch, rng) -> Tuple[jnp.ndarray, Cond, Cond]:
         # cached-latents mode: the loader may supply precomputed VAE latents
@@ -206,10 +223,8 @@ class SDXLBundle:
             "added_cond": {"text_embeds": pooled2, "time_ids": time_ids},
         }
 
-    def decode_latents(self, frozen, latents) -> jnp.ndarray:
-        return self._vae.apply(
-            {"params": frozen["vae"]}, latents, method=AutoencoderKL.decode
-        )
+    def decode_latents(self, frozen, latents, chunk: Optional[int] = None) -> jnp.ndarray:
+        return _decode_chunked(self._vae, frozen["vae"], latents, chunk)
 
     def encode(self, frozen, batch, rng):
         if "prompt_embeds" in batch:  # cached text embeddings (see SD15Bundle)
@@ -318,10 +333,8 @@ class SD3Bundle:
         prompt_embeds, pooled = self._encode_prompt(frozen, input_ids, input_ids_2, input_ids_3)
         return {"prompt_embeds": prompt_embeds, "pooled": pooled}
 
-    def decode_latents(self, frozen, latents) -> jnp.ndarray:
-        return self._vae.apply(
-            {"params": frozen["vae"]}, latents, method=AutoencoderKL.decode
-        )
+    def decode_latents(self, frozen, latents, chunk: Optional[int] = None) -> jnp.ndarray:
+        return _decode_chunked(self._vae, frozen["vae"], latents, chunk)
 
     def encode(self, frozen, batch, rng):
         if "prompt_embeds" in batch:  # cached text embeddings (see SD15Bundle)

@@ -33,6 +33,8 @@ def main():
                     choices=[None, "ddim", "tcd", "fm_det", "fm_stoch"])
     ap.add_argument("--tokenizer-dir", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--decode-chunk", type=int, default=None,
+                    help="VAE-decode this many images at a time (bounds memory)")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -100,7 +102,8 @@ def main():
     pipe = TextToImagePipeline(bundle, sampler)
     images = jax.jit(
         lambda f, l, c, u, r: pipe.generate(
-            f, l, c, u, r, latent_hw=res // 8, guidance_scale=args.cfg
+            f, l, c, u, r, latent_hw=res // 8, guidance_scale=args.cfg,
+            decode_chunk=args.decode_chunk,
         )
     )(frozen, lora, cond, uncond, jax.random.PRNGKey(args.seed))
 

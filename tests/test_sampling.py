@@ -133,6 +133,13 @@ def test_pipeline_end_to_end_tiny():
         lambda f, l, c, r: pipe.generate(f, l, c, None, r, latent_hw=16, guidance_scale=1.0)
     )(frozen, lora, cond, jax.random.PRNGKey(3))
     assert img2.shape == (2, 32, 32, 3)
+    # chunked VAE decode (bounds decoder memory at big batches) is exact
+    img3 = jax.jit(
+        lambda f, l, c, r: pipe.generate(
+            f, l, c, None, r, latent_hw=16, guidance_scale=1.0, decode_chunk=1
+        )
+    )(frozen, lora, cond, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(img3), np.asarray(img2), rtol=1e-5, atol=1e-5)
 
 
 def test_pipeline_data_parallel_mesh():
