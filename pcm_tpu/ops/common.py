@@ -36,17 +36,42 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-@functools.cache
-def pallas_elementwise() -> bool:
-    """Whether GEGLU/GroupNorm use the Pallas kernels on the hot path.
+_ELEMENTWISE_IMPL = contextvars.ContextVar("pcm_elementwise_impl", default=None)
 
-    Default OFF: fenced v5e measurements (scripts/tune_elementwise.py,
+
+@contextlib.contextmanager
+def elementwise_impl(name: str):
+    """Select the GEGLU/GroupNorm implementation ("pallas" | "xla") for code
+    traced within the context. Flash attention is unaffected."""
+    assert name in ("pallas", "xla"), name
+    tok = _ELEMENTWISE_IMPL.set(name)
+    try:
+        yield
+    finally:
+        _ELEMENTWISE_IMPL.reset(tok)
+
+
+def pallas_elementwise() -> bool:
+    """Whether GEGLU/GroupNorm use the Pallas kernels at this trace point.
+
+    Isolated fenced v5e measurements (scripts/tune_elementwise.py,
     2026-08-16) show XLA's fused matmul-epilogue GEGLU ~1.9x faster fwd+bwd
-    and its GroupNorm+SiLU faster at 3 of 4 SDXL shapes. Flash attention is
-    unaffected (the Pallas kernel is 6-7x faster than XLA at seq 4096 and is
-    what makes 1024px training fit). Set PCM_PALLAS_ELEMENTWISE=1 to opt in.
+    and its GroupNorm+SiLU faster at 3 of 4 SDXL shapes — so inference
+    paths (TextToImagePipeline) trace under elementwise_impl("xla").
+    The remat'd TRAIN step keeps the Pallas kernels: inlining the ~70 GEGLU
+    dot_generals into the 4-forward remat graph reproducibly SIGKILLs the
+    remote TPU compiler host (2x verified), and the opaque pallas_call
+    boundary is what keeps that graph compilable. Flash attention is
+    independent of this switch (Pallas, 6-7x faster than XLA at seq 4096).
+    PCM_PALLAS_ELEMENTWISE=1/0 globally overrides both defaults.
     """
-    return os.environ.get("PCM_PALLAS_ELEMENTWISE", "0") == "1"
+    env = os.environ.get("PCM_PALLAS_ELEMENTWISE")
+    if env is not None:
+        return env == "1"
+    ctx = _ELEMENTWISE_IMPL.get()
+    if ctx is not None:
+        return ctx == "pallas"
+    return True
 
 
 @functools.cache

@@ -40,6 +40,28 @@ class TextToImagePipeline:
     ) -> jnp.ndarray:
         """cond/uncond from ``bundle.encode_prompts``; returns images in
         [-1, 1] (or raw latents with ``decode=False``)."""
+        from ..ops.common import elementwise_impl
+
+        with elementwise_impl("xla"):
+            return self._generate(
+                frozen, lora, cond, uncond, rng, latent_hw, guidance_scale,
+                decode, decode_chunk,
+            )
+
+    def _generate(
+        self,
+        frozen: Dict[str, Any],
+        lora: Optional[Dict[str, Any]],
+        cond: Dict[str, Any],
+        uncond: Optional[Dict[str, Any]],
+        rng: jax.Array,
+        latent_hw: int,
+        guidance_scale: float = 1.0,
+        decode: bool = True,
+        decode_chunk: Optional[int] = None,
+    ) -> jnp.ndarray:
+        # inference graphs have no remat, so the faster XLA GEGLU/GroupNorm
+        # compile fine here (see ops/common.py:pallas_elementwise)
         bundle = self.bundle
         sampler = self.sampler
         bsz = jax.tree.leaves(cond)[0].shape[0]
