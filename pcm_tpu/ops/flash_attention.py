@@ -31,13 +31,18 @@ from .common import interpret_default, round_up
 NEG_INF = -1e30
 
 
-def _block_sizes(sq: int, sk: int, block_q: Optional[int] = None, block_k: Optional[int] = None):
+def _block_sizes(sq: int, sk: int, dp: int,
+                 block_q: Optional[int] = None, block_k: Optional[int] = None):
     # Defaults measured on v5e with d=64 (scripts/tune_attention.py, fenced
     # timing): at seq 4096 fwd+bwd 1024/1024 beats 512/512 by 26% (4.68 vs
     # 6.30 ms) and fwd by 41%; seq 1024 and SD3-joint 4250 also prefer 1024.
-    # 2048-blocks exceed VMEM in the bwd kernels. Overridable per call.
-    bq = min(block_q or 1024, round_up(sq, 8))
-    bk = min(block_k or 1024, round_up(sk, 128))
+    # 2048-blocks exceed VMEM in the bwd kernels, and wide heads scale every
+    # VMEM buffer by dp/128 — the VAE's single 512-dim head (seq 16384) blows
+    # the 16MB scoped limit at 1024 blocks, so wide heads keep the measured-
+    # safe 512. Overridable per call.
+    default = 1024 if dp <= 128 else 512
+    bq = min(block_q or default, round_up(sq, 8))
+    bk = min(block_k or default, round_up(sk, 128))
     return bq, bk
 
 
@@ -91,8 +96,8 @@ def _fwd(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
     """q/k/v in (b, h, s, d) layout; returns o (b,h,sq,d), lse (b,h,sq,1)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _block_sizes(sq, sk, block_q, block_k)
     dp = round_up(d, 128)
+    bq, bk = _block_sizes(sq, sk, dp, block_q, block_k)
     sq_p, sk_p = round_up(sq, bq), round_up(sk, bk)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, dp - d)))
@@ -221,8 +226,8 @@ def _bwd(sm_scale, interpret, block_q, block_k, res, g):
     q, k, v, o, lse = res  # all (b, h, s, d); lse (b, h, sq, 1)
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _block_sizes(sq, sk, block_q, block_k)
     dp = round_up(d, 128)
+    bq, bk = _block_sizes(sq, sk, dp, block_q, block_k)
     sq_p, sk_p = round_up(sq, bq), round_up(sk, bk)
 
     g = g.astype(q.dtype)
