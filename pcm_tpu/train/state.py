@@ -38,11 +38,26 @@ def make_optimizer(
     total_steps: Optional[int] = None,
     schedule: str = "constant",
     use_8bit: bool = False,
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clipping, mirroring the reference recipes
     (`train_pcm_lora_sd15.py:985-991`, clip at :1298). ``use_8bit`` swaps in
     the blockwise int8-state AdamW (ref ``--use_8bit_adam`` / bnb AdamW8bit,
-    `train_pcm_lora_sd15.py:972-982`)."""
+    `train_pcm_lora_sd15.py:972-982`). ``optimizer="prodigy"`` selects the
+    parameter-free Prodigy optimizer the SD3 trainers offer
+    (`train_pcm_lora_sd3.py:1120-1145`; keep lr≈1.0 with it, ref :1131)."""
+    if optimizer == "prodigy":
+        from .prodigy import prodigy
+
+        chain = []
+        if max_grad_norm is not None:
+            chain.append(optax.clip_by_global_norm(max_grad_norm))
+        chain.append(
+            prodigy(lr, betas=(b1, b2), eps=eps, weight_decay=weight_decay)
+        )
+        return optax.chain(*chain)
+    if optimizer != "adamw":
+        raise ValueError(f"unsupported optimizer {optimizer!r} (adamw|prodigy)")
     if schedule == "constant":
         lr_schedule = optax.join_schedules(
             [optax.linear_schedule(0.0, lr, max(warmup_steps, 1)), optax.constant_schedule(lr)],

@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--gradient-accumulation-steps", type=int, default=1)
     ap.add_argument("--use-8bit-adam", action="store_true",
                     help="blockwise int8 Adam moments (ref --use_8bit_adam)")
+    ap.add_argument("--optimizer", default="adamw", choices=["adamw", "prodigy"],
+                    help="student optimizer; prodigy is parameter-free — pair "
+                         "it with --learning-rate 1.0 (ref SD3 trainers)")
+    ap.add_argument("--learning-rate", type=float, default=None,
+                    help="override the recipe learning rate")
     ap.add_argument("--remat", default="full", choices=["full", "dots", "dots_small", "none"],
                     help="gradient checkpointing: full=min memory, dots/dots_small="
                          "keep (small) matmul outputs for a faster bwd, "
@@ -131,7 +136,18 @@ def main():
     # update per `step()` call, microbatch-sized activations), replacing the
     # reference's accelerator.accumulate — see train/distill.py:accumulate_grads
     accum = args.gradient_accumulation_steps
-    tx_g = make_optimizer(recipe.lr, max_grad_norm=1.0, use_8bit=args.use_8bit_adam)
+    lr = args.learning_rate if args.learning_rate is not None else recipe.lr
+    if args.optimizer == "prodigy" and args.use_8bit_adam:
+        print("warning: --use-8bit-adam is ignored with --optimizer prodigy "
+              "(ref train_pcm_lora_sd3.py:1094-1098)", file=sys.stderr)
+    if args.optimizer == "prodigy" and lr <= 0.1:
+        print("warning: with prodigy set the learning rate around 1.0 "
+              "(ref train_pcm_lora_sd3.py:1131-1134)", file=sys.stderr)
+    tx_g = make_optimizer(
+        lr, max_grad_norm=1.0,
+        use_8bit=args.use_8bit_adam and args.optimizer == "adamw",
+        optimizer=args.optimizer,
+    )
     g_state = TrainState.create(lora, tx_g)
 
     # --- data ---
