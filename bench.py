@@ -37,10 +37,14 @@ REF_ASSUMED_MFU = 0.20  # see module docstring
 
 
 def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str = "dots",
-          adam: str = "8bit"):
-    from pcm_tpu.configs.families import sd15_bundle, sdxl_bundle
-    from pcm_tpu.core import make_ddpm_schedule
-    from pcm_tpu.train.distill import DistillConfig, build_ddim_distill_step
+          adam: str = "8bit", weights: str = "bf16"):
+    from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
+    from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
+    from pcm_tpu.train.distill import (
+        DistillConfig,
+        build_ddim_distill_step,
+        build_flow_distill_step,
+    )
     from pcm_tpu.train.state import TrainState, make_optimizer
 
     # measured on v5e, SDXL 1024px bs1 student fwd+bwd (scripts/remat_compare.py):
@@ -63,10 +67,17 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
             remat_levels=(True, True, True, False) if remat == "hybrid" else None,
         )
         cfg = DistillConfig(num_solver_steps=50, multiphase=4, w_min=4, w_max=5)
+    elif family == "sd3":
+        # run.sh:65-95 recipe: 100 euler steps, 4-phase, fixed teacher w=3,
+        # rank-32 LoRA. bf16 SD3 (MMDiT 2B + T5-XXL 4.7B + 2xCLIP) does NOT
+        # fit one 15.75G v5e — pair with --weights int8 (~7.7G frozen).
+        bundle = sd3_bundle(lora_rank=min(lora_rank, 32), remat=use_remat,
+                            remat_policy=policy)
+        cfg = DistillConfig(num_solver_steps=100, multiphase=4, fixed_w=3.0)
     else:
         raise ValueError(family)
 
-    schedule = make_ddpm_schedule()
+    schedule = make_flow_schedule(shift=3.0) if family == "sd3" else make_ddpm_schedule()
     # 8-bit Adam is what the reference recipes run (--use_8bit_adam in
     # train_pcm_lora_sd15.sh:23 / train_pcm_lora_sdxl.sh:28); fp32 moments on
     # 197M LoRA params cost 1.57G HBM and push the 1024px step out of memory
@@ -77,13 +88,23 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
     from pcm_tpu.train.bundles import init_frozen_fast
 
     frozen, lora = init_frozen_fast(bundle, seed=0)
+    if weights == "int8":
+        # weight-only int8 frozen weights (per-output-channel scales, VAE kept
+        # bf16): ~2.6G HBM back on SDXL — enough to run remat="none"
+        from pcm_tpu.utils.quant import quantize_frozen, quantized_bytes_saved
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            frozen = quantize_frozen(frozen)
+        print(f"# int8 weights: {quantized_bytes_saved(frozen)/2**30:.2f} GiB saved",
+              file=sys.stderr)
     dev = jax.devices()[0]
     frozen = jax.device_put(frozen, dev)
     lora = jax.device_put(lora, dev)
     jax.block_until_ready(frozen)
     print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
     state = TrainState.create(lora, tx)
-    step = build_ddim_distill_step(bundle, schedule, cfg, tx)
+    builder = build_flow_distill_step if family == "sd3" else build_ddim_distill_step
+    step = builder(bundle, schedule, cfg, tx)
 
     rng = np.random.RandomState(0)
     batch_data = {
@@ -91,22 +112,32 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
             rng.rand(batch, resolution, resolution, 3) * 2 - 1, jnp.bfloat16
         ),
         "input_ids": jnp.asarray(rng.randint(1, 49000, size=(batch, 77))),
-        "uncond_embeds": jnp.zeros(
-            (batch, 77, bundle.unet_cfg.cross_attention_dim), jnp.bfloat16
-        ),
     }
-    if family == "sdxl":
+    if family == "sd15":
+        batch_data["uncond_embeds"] = jnp.zeros(
+            (batch, 77, bundle.unet_cfg.cross_attention_dim), jnp.bfloat16
+        )
+    elif family == "sdxl":
         batch_data["input_ids_2"] = jnp.asarray(rng.randint(1, 49000, size=(batch, 77)))
         batch_data["time_ids"] = jnp.tile(
             jnp.asarray([[resolution, resolution, 0, 0, resolution, resolution]], jnp.float32),
             (batch, 1),
         )
-        del batch_data["uncond_embeds"]
+    elif family == "sd3":
+        batch_data["input_ids_2"] = jnp.asarray(rng.randint(1, 49000, size=(batch, 77)))
+        batch_data["input_ids_3"] = jnp.asarray(rng.randint(1, 32000, size=(batch, 77)))
+        # zero-tensor uncond (CLIP 77 + T5 77 seq concat at T5 width)
+        batch_data["uncond_embeds"] = jnp.zeros(
+            (batch, 154, bundle.mmdit_cfg.joint_attention_dim), jnp.bfloat16
+        )
+        batch_data["uncond_pooled"] = jnp.zeros(
+            (batch, bundle.mmdit_cfg.pooled_projection_dim), jnp.bfloat16
+        )
     return bundle, frozen, state, step, batch_data
 
 
 def build_infer(family: str, resolution: int, batch: int, steps: int,
-                decode_chunk=None):
+                decode_chunk=None, weights: str = "bf16"):
     """2-step (or k-step) generation throughput: k student forwards + VAE
     decode through TextToImagePipeline — the deployment path (BASELINE.json
     '2-step images/sec'). LoRA B factors are zero at random init, so the
@@ -118,6 +149,11 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
 
     bundle = (sdxl_bundle if family == "sdxl" else sd15_bundle)(remat=False)
     frozen, lora = init_frozen_fast(bundle, seed=0)
+    if weights == "int8":
+        from pcm_tpu.utils.quant import quantize_frozen
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            frozen = quantize_frozen(frozen)
     dev = jax.devices()[0]
     frozen = jax.device_put(frozen, dev)
     lora = jax.device_put(lora, dev)
@@ -158,6 +194,9 @@ def main():
     ap.add_argument("--remat", default="dots_small",
                 choices=["hybrid", "none", "dots", "dots_small", "full"])
     ap.add_argument("--adam", default="8bit", choices=["8bit", "fp32"])
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="frozen-weight storage; int8 = weight-only quantized "
+                         "kernels (per-channel scales), VAE stays bf16")
     ap.add_argument("--mode", default="train", choices=["train", "infer"])
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     ap.add_argument("--decode-chunk", type=int, default=None,
@@ -169,7 +208,8 @@ def main():
         return main_infer(args)
 
     bundle, frozen, state, step, batch = build(
-        args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam
+        args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
+        args.weights,
     )
     rng = jax.random.PRNGKey(0)
 
@@ -224,7 +264,8 @@ def main():
 
 def main_infer(args):
     frozen, lora, cond, run = build_infer(
-        args.family, args.resolution, args.batch, args.steps, args.decode_chunk
+        args.family, args.resolution, args.batch, args.steps, args.decode_chunk,
+        args.weights,
     )
     t0 = time.time()
     jrun = jax.jit(run)

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="VAE-decode this many images at a time (bounds memory)")
     ap.add_argument("--out", default="out.png")
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = weight-only quantized frozen kernels "
+                         "(halves model HBM; VAE stays bf16)")
     args = ap.parse_args()
 
     import orbax.checkpoint as ocp
@@ -59,6 +62,10 @@ def main():
     frozen, lora_template = init_frozen_cpu(bundle, jax.random.PRNGKey(0))
     ckptr = ocp.StandardCheckpointer()
     frozen = ckptr.restore(os.path.abspath(args.teacher_checkpoint), frozen)
+    if args.weights == "int8":
+        from pcm_tpu.utils.quant import quantize_frozen
+
+        frozen = quantize_frozen(frozen)
 
     lora = None
     if args.lora:

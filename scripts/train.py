@@ -54,6 +54,10 @@ def main():
                          "it with --learning-rate 1.0 (ref SD3 trainers)")
     ap.add_argument("--learning-rate", type=float, default=None,
                     help="override the recipe learning rate")
+    ap.add_argument("--frozen-weights", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = store frozen teacher/text kernels as "
+                         "weight-only quantized int8 (per-channel scales; VAE "
+                         "stays bf16) — frees HBM for lighter --remat")
     ap.add_argument("--remat", default="full", choices=["full", "dots", "dots_small", "none"],
                     help="gradient checkpointing: full=min memory, dots/dots_small="
                          "keep (small) matmul outputs for a faster bwd, "
@@ -128,6 +132,10 @@ def main():
 
         ckptr = ocp.StandardCheckpointer()
         frozen = ckptr.restore(os.path.abspath(args.teacher_checkpoint), frozen)
+    if args.frozen_weights == "int8":
+        from pcm_tpu.utils.quant import quantize_frozen
+
+        frozen = quantize_frozen(frozen)
 
     n_dev = jax.device_count()
     mesh = make_mesh(data=n_dev, fsdp=1) if n_dev > 1 else None

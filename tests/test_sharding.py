@@ -63,3 +63,34 @@ def test_fsdp_matmul_correctness():
     xs = shard_batch(x, mesh)
     out = jax.jit(lambda a, b: a @ b)(xs, ws)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+def test_fsdp_sharded_qtensor_distill_step():
+    """int8 frozen weights (utils/quant.py QTensor) compose with FSDP
+    sharding: values shard over 'fsdp', scales replicate, and the tiny SD1.5
+    distill step runs on a (data=4, fsdp=2) mesh."""
+    from pcm_tpu.utils.quant import QTensor, quantize_frozen
+    from tests.test_distill_step import _sd15_batch, _sd15_setup
+
+    bundle, frozen, state, step = _sd15_setup()
+    qfrozen = quantize_frozen(frozen, min_size=1024)
+    mesh = make_mesh(data=4, fsdp=2)
+    qfrozen_s = shard_fsdp(qfrozen, mesh, min_size=1024)
+    state_s = replicate(state, mesh)
+    batch = shard_batch(_sd15_batch(8), mesh)
+
+    # at least one QTensor's int8 values actually got split over fsdp
+    qts = [
+        l for l in jax.tree.leaves(
+            qfrozen_s, is_leaf=lambda l: isinstance(l, QTensor))
+        if isinstance(l, QTensor)
+    ]
+    assert qts
+    assert any(
+        not s.is_fully_replicated
+        for q in qts
+        for s in [q.values.sharding]
+    )
+
+    new_state, metrics = jax.jit(step)(state_s, qfrozen_s, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
