@@ -36,8 +36,24 @@ A800_PEAK_FLOPS = 312e12
 REF_ASSUMED_MFU = 0.20  # see module docstring
 
 
+def _bench_cond(bundle, family, frozen, batch):
+    """Zero cond tree with the right structure/shapes (via eval_shape — no
+    real text-encoder forward)."""
+    ids = jnp.zeros((batch, 77), jnp.int32)
+    if family == "sd15":
+        fn = lambda: bundle.encode_prompts(frozen, ids)
+    elif family == "sdxl":
+        fn = lambda: bundle.encode_prompts(
+            frozen, ids, ids, jnp.zeros((batch, 6), jnp.float32)
+        )
+    else:
+        fn = lambda: bundle.encode_prompts(frozen, ids, ids, ids)
+    shapes = jax.eval_shape(fn)
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
 def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str = "dots",
-          adam: str = "8bit", weights: str = "bf16"):
+          adam: str = "8bit", weights: str = "bf16", mode: str = "train"):
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.train.distill import (
@@ -53,6 +69,10 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
     # 15.82G OOM by 69M; "hybrid" per-level remat SIGKILLs the remote compiler.
     # Default "dots_small" caps saved dot outputs at 16MB (drops the 40MB GEGLU
     # inner projections), keeping the fast backward within budget.
+    if weights == "bf16" and remat == "none" and resolution >= 1024:
+        print("# warning: bf16 weights + remat=none needs 17.2G HBM at 1024px "
+              "(OOM on 15.75G v5e) — use --weights int8 or --remat dots_small",
+              file=sys.stderr)
     use_remat = remat != "none"
     policy = remat if remat in ("dots", "dots_small") else None
     levels = (True, True, False) if remat == "hybrid" else None
@@ -106,6 +126,43 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
     builder = build_flow_distill_step if family == "sd3" else build_ddim_distill_step
     step = builder(bundle, schedule, cfg, tx)
 
+    if mode == "adv":
+        # the reference's actual SDXL/SD1.5 headline recipes are adversarial:
+        # alternating hinge-GAN D/G steps on noise-travelled latents
+        # (`train_pcm_lora_sdxl_adv.py:1465-1532`)
+        from pcm_tpu.train.adv import (
+            SD3_DISC_CONFIG,
+            SD15_DISC_CONFIG,
+            SDXL_DISC_CONFIG,
+            AdvConfig,
+            Discriminator,
+            build_ddim_adv_steps,
+            build_flow_adv_steps,
+        )
+
+        disc_cfg = {"sd15": SD15_DISC_CONFIG, "sdxl": SDXL_DISC_CONFIG,
+                    "sd3": SD3_DISC_CONFIG}[family]
+        disc = Discriminator(disc_cfg)
+        latent_hw = resolution // 8
+        ch = (bundle.unet_cfg if family != "sd3" else bundle.mmdit_cfg).in_channels
+        cond0 = _bench_cond(bundle, family, frozen, 1)
+        # head shapes from an abstract feature pass — no real forward needed
+        feat_shapes = jax.eval_shape(
+            lambda: bundle.teacher_features(
+                frozen, jnp.zeros((1, latent_hw, latent_hw, ch), jnp.bfloat16),
+                jnp.zeros((1,)), cond0,
+            )
+        )
+        feats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes)
+        d_params = jax.jit(disc.init)(jax.random.PRNGKey(1), feats0)["params"]
+        tx_d = make_optimizer(1e-5, b1=0.0, max_grad_norm=1.0)
+        d_state = TrainState.create(d_params, tx_d)
+        adv_builder = build_flow_adv_steps if family == "sd3" else build_ddim_adv_steps
+        g_step, d_step = adv_builder(
+            bundle, schedule, cfg, AdvConfig(0.1), disc, tx, tx_d
+        )
+        step = (g_step, d_step, d_state)
+
     rng = np.random.RandomState(0)
     batch_data = {
         "pixel_values": jnp.asarray(
@@ -142,12 +199,15 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
     decode through TextToImagePipeline — the deployment path (BASELINE.json
     '2-step images/sec'). LoRA B factors are zero at random init, so the
     compiled work is identical to a trained student's."""
-    from pcm_tpu.configs.families import sd15_bundle, sdxl_bundle
-    from pcm_tpu.core import make_ddpm_schedule
-    from pcm_tpu.sampling import DDIMSampler, TextToImagePipeline
+    from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
+    from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
+    from pcm_tpu.sampling import DDIMSampler, PCMFMSampler, TextToImagePipeline
     from pcm_tpu.train.bundles import init_frozen_fast
 
-    bundle = (sdxl_bundle if family == "sdxl" else sd15_bundle)(remat=False)
+    if family == "sd3":
+        bundle = sd3_bundle(remat=False)
+    else:
+        bundle = (sdxl_bundle if family == "sdxl" else sd15_bundle)(remat=False)
     frozen, lora = init_frozen_fast(bundle, seed=0)
     if weights == "int8":
         from pcm_tpu.utils.quant import quantize_frozen
@@ -159,7 +219,13 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
     lora = jax.device_put(lora, dev)
     jax.block_until_ready(frozen)
 
-    sampler = DDIMSampler.create(make_ddpm_schedule(), steps)
+    if family == "sd3":
+        # ref validation scheduler: PCMFMDeterministicScheduler(1000, 3.0, 100)
+        sampler = PCMFMSampler.create(
+            make_flow_schedule(shift=3.0), steps, pcm_timesteps=100
+        )
+    else:
+        sampler = DDIMSampler.create(make_ddpm_schedule(), steps)
     pipe = TextToImagePipeline(bundle=bundle, sampler=sampler)
 
     rng = np.random.RandomState(0)
@@ -169,6 +235,9 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
             jnp.asarray([[resolution, resolution, 0, 0, resolution, resolution]],
                         jnp.float32), (batch, 1))
         cond = bundle.encode_prompts(frozen, ids, ids, time_ids)
+    elif family == "sd3":
+        ids3 = jnp.asarray(rng.randint(1, 32000, size=(batch, 77)))
+        cond = bundle.encode_prompts(frozen, ids, ids, ids3)
     else:
         cond = bundle.encode_prompts(frozen, ids)
 
@@ -191,13 +260,17 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--lora-rank", type=int, default=64)
-    ap.add_argument("--remat", default="dots_small",
+    # headline defaults: int8 weight-only frozen kernels + no gradient
+    # checkpointing — fastest measured 1024px config (802.5 ms vs 892.6 ms for
+    # bf16+dots_small; the int8 storage frees 3.05 GiB, which is what lets
+    # remat=none fit in 15.75 G). bf16 remains available via --weights.
+    ap.add_argument("--remat", default="none",
                 choices=["hybrid", "none", "dots", "dots_small", "full"])
     ap.add_argument("--adam", default="8bit", choices=["8bit", "fp32"])
-    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+    ap.add_argument("--weights", default="int8", choices=["bf16", "int8"],
                     help="frozen-weight storage; int8 = weight-only quantized "
                          "kernels (per-channel scales), VAE stays bf16")
-    ap.add_argument("--mode", default="train", choices=["train", "infer"])
+    ap.add_argument("--mode", default="train", choices=["train", "infer", "adv"])
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="VAE-decode this many samples at a time (infer mode; "
@@ -209,8 +282,10 @@ def main():
 
     bundle, frozen, state, step, batch = build(
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
-        args.weights,
+        args.weights, args.mode,
     )
+    if args.mode == "adv":
+        return main_adv(args, frozen, state, step, batch)
     rng = jax.random.PRNGKey(0)
 
     t0 = time.time()
@@ -260,6 +335,57 @@ def main():
             }
         )
     )
+
+
+def main_adv(args, frozen, g_state, steps, batch):
+    """Alternating adversarial D/G steps, each on a fresh batch — exactly the
+    reference's global-step parity switch (`train_pcm_lora_sdxl_adv.py:
+    1482-1532`). One optimizer update per step; a G+D pair consumes
+    2×batch samples."""
+    g_step, d_step, d_state = steps
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    jg = jax.jit(g_step, donate_argnums=(0,))
+    jd = jax.jit(d_step, donate_argnums=(1,))
+    cg = jg.lower(g_state, d_state, frozen, batch, rng).compile()
+    cd = jd.lower(g_state, d_state, frozen, batch, rng).compile()
+    print(f"# compile (G+D): {time.time()-t0:.1f}s", file=sys.stderr)
+    flops = float("nan")
+    try:
+        flops = float(cg.cost_analysis()["flops"]) + float(cd.cost_analysis()["flops"])
+    except Exception:
+        pass
+
+    # warmup both graphs, then fence via metric readback
+    g_state, mg = cg(g_state, d_state, frozen, batch, rng)
+    d_state, md = cd(g_state, d_state, frozen, batch, rng)
+    g0, d0 = float(mg["loss"]), float(md["d_loss"])
+    t0 = time.time()
+    _ = float(md["d_loss"])
+    t_fence = time.time() - t0
+
+    t0 = time.time()
+    for i in range(args.iters):
+        g_state, mg = cg(g_state, d_state, frozen, batch, jax.random.fold_in(rng, i))
+        d_state, md = cd(g_state, d_state, frozen, batch, jax.random.fold_in(rng, 1000 + i))
+    _ = float(md["d_loss"])
+    pair_dt = max(time.time() - t0 - t_fence, 1e-9) / args.iters
+    samples_per_sec = 2 * args.batch / pair_dt
+    print(f"# G+D pair: {pair_dt*1000:.1f}ms  loss={g0:.4f} d_loss={d0:.4f}",
+          file=sys.stderr)
+    vs_baseline = float("nan")
+    if np.isfinite(flops):
+        ref_pair = flops / (A800_PEAK_FLOPS * REF_ASSUMED_MFU)
+        vs_baseline = samples_per_sec / (2 * args.batch / ref_pair)
+        print(f"# flops/pair={flops:.3e}  v5e MFU={flops/pair_dt/197e12:.2%}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": f"{args.family} {args.resolution}px adversarial PCM-LoRA distill samples/sec/chip",
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
+    }))
 
 
 def main_infer(args):
