@@ -125,3 +125,66 @@ def test_sd3_adv_steps():
     g_state2, gm = jax.jit(g_step)(g_state, d_state2, frozen, batch, jax.random.PRNGKey(1))
     for k in ("loss", "loss_cm", "g_loss"):
         assert np.isfinite(float(gm[k])), k
+
+
+def test_sdxl_adv_steps_stop_after_mid():
+    """SDXL adversarial: down+mid-only discriminator taps trigger the UNet's
+    stop_after_mid early-exit feature mode (`discriminator_sdxl.py:311`
+    returns before the up blocks); dual text encoders + time_ids threaded
+    through both D and G steps."""
+    from pcm_tpu.models.unet import TINY_SDXL_CONFIG
+    from pcm_tpu.train.bundles import SDXLBundle
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, projection_dim=None,
+    )
+    text2_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, projection_dim=32,
+    )
+    bundle = SDXLBundle(
+        unet_cfg=TINY_SDXL_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+        text_cfg=text_cfg, text2_cfg=text2_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG, seq_len=16)
+
+    disc_cfg = DiscriminatorConfig(
+        taps=("down_0", "down_1", "mid"), num_h_per_head=1, kernel=1
+    )
+    disc = Discriminator(disc_cfg)
+    rng = np.random.RandomState(0)
+    bsz = 2
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(bsz, IMG, IMG, 3) * 2 - 1, jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(1, 999, size=(bsz, 16))),
+        "input_ids_2": jnp.asarray(rng.randint(1, 999, size=(bsz, 16))),
+        "time_ids": jnp.tile(
+            jnp.asarray([[IMG, IMG, 0, 0, IMG, IMG]], jnp.float32), (bsz, 1)
+        ),
+    }
+    cond = bundle.encode_prompts(
+        frozen, batch["input_ids"], batch["input_ids_2"], batch["time_ids"]
+    )
+    d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), 16, cond)
+
+    tx_g = make_optimizer(1e-3)
+    tx_d = make_optimizer(1e-3, b1=0.0)
+    g_state = TrainState.create(lora, tx_g)
+    d_state = TrainState.create(d_params, tx_d)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=4, w_min=6, w_max=7)
+    g_step, d_step = build_ddim_adv_steps(
+        bundle, make_ddpm_schedule(), cfg, AdvConfig(0.1), disc, tx_g, tx_d
+    )
+
+    d_state2, dm = jax.jit(d_step)(g_state, d_state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(dm["d_loss"]))
+    g_state2, gm = jax.jit(g_step)(g_state, d_state2, frozen, batch, jax.random.PRNGKey(1))
+    for k in ("loss", "loss_cm", "g_loss"):
+        assert np.isfinite(float(gm[k])), k
+    moved = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(g_state.params), jax.tree.leaves(g_state2.params))
+    ]
+    assert max(moved) > 0

@@ -231,3 +231,47 @@ def test_sd3_flow_distill_step():
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params))
     ]
     assert max(moved) > 0
+
+
+def test_sdxl_distill_step_runs_and_updates():
+    """SDXL path: dual text encoders, pooled te2 + time_ids micro-conditioning
+    (`train_pcm_lora_sdxl_adv.py:1093-1131`) through the fused step."""
+    from pcm_tpu.models.unet import TINY_SDXL_CONFIG
+    from pcm_tpu.train.bundles import SDXLBundle
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, projection_dim=None,
+    )
+    text2_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, projection_dim=32,
+    )
+    bundle = SDXLBundle(
+        unet_cfg=TINY_SDXL_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+        text_cfg=text_cfg, text2_cfg=text2_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG, seq_len=16)
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(lora, tx)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=4, w_min=6, w_max=7)
+    step = build_ddim_distill_step(bundle, make_ddpm_schedule(), cfg, tx)
+
+    rng = np.random.RandomState(0)
+    bsz = 2
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(bsz, IMG, IMG, 3) * 2 - 1, jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(1, 999, size=(bsz, 16))),
+        "input_ids_2": jnp.asarray(rng.randint(1, 999, size=(bsz, 16))),
+        "time_ids": jnp.tile(
+            jnp.asarray([[IMG, IMG, 0, 0, IMG, IMG]], jnp.float32), (bsz, 1)
+        ),
+    }
+    new_state, metrics = jax.jit(step)(state, frozen, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), new_state.params, state.params
+    )
+    assert max(jax.tree.leaves(moved)) > 0

@@ -124,3 +124,15 @@ def test_geglu(m, k, f):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
     for a, b_ in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
+
+
+def test_groupnorm_size_dispatch():
+    """Huge activations must take the streaming Pallas kernel even when the
+    inference-trace default prefers XLA (the XLA path materializes whole-
+    tensor f32 temps — 4 GiB at VAE-decoder scale, OOM on a 16G chip)."""
+    from pcm_tpu.ops.groupnorm import _force_pallas_for_size
+
+    assert not _force_pallas_for_size((1, 128, 128, 1280))  # UNet scale: XLA ok
+    assert not _force_pallas_for_size((4, 77, 2048))
+    assert _force_pallas_for_size((1, 1024, 1024, 256))  # VAE decode: 1 GiB f32
+    assert _force_pallas_for_size((4, 512, 512, 512))
