@@ -52,6 +52,10 @@ def build_generator(args):
         frozen = ocp.StandardCheckpointer().restore(
             os.path.abspath(args.teacher_checkpoint), frozen
         )
+    if args.weights == "int8":
+        from pcm_tpu.utils.quant import quantize_frozen
+
+        frozen = quantize_frozen(frozen)
     tok = HFTokenizer(args.tokenizer_dir) if args.tokenizer_dir else HashTokenizer()
     sched = make_ddpm_schedule()
     res = 512 if args.family == "sd15" else 1024
@@ -104,6 +108,8 @@ def main():
     ap.add_argument("--lora-dir", default=None)
     ap.add_argument("--tokenizer-dir", default=None)
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = weight-only quantized frozen kernels")
     args = ap.parse_args()
 
     generate = build_generator(args)

@@ -145,19 +145,22 @@ def group_norm_silu(
     if interpret is None:
         from .common import force_reference_ops, pallas_elementwise
 
-        # The XLA path materializes f32 temps of the whole activation; at VAE-
-        # decoder scale (1024x1024x256 = 1 GiB f32 per sample) that OOMs the
-        # chip, so big tensors always take the streaming Pallas kernel even on
-        # inference traces where XLA is otherwise the faster default.
-        f32_bytes = 4 * int(np.prod(x.shape))
-        huge = f32_bytes > 256 * 1024 * 1024
         if interpret_default() or force_reference_ops() or (
-            not pallas_elementwise() and not huge
+            not pallas_elementwise() and not _force_pallas_for_size(x.shape)
         ):
             # XLA wins at most UNet shapes on v5e (see common.pallas_elementwise)
             return group_norm_silu_reference(x, gamma, beta, num_groups, eps, act)
         interpret = False
     return _group_norm_silu(x, gamma, beta, num_groups, eps, act, interpret)
+
+
+def _force_pallas_for_size(shape, threshold_bytes: int = 256 * 1024 * 1024) -> bool:
+    """The XLA reference materializes f32 temps of the whole activation; at
+    VAE-decoder scale (1024x1024x256 = 1 GiB f32 per sample) that OOMs the
+    chip. Tensors whose f32 footprint exceeds ``threshold_bytes`` always take
+    the streaming Pallas kernel, even on inference traces where XLA is
+    otherwise the faster default (docs/ROUND1_NOTES.md session 2)."""
+    return 4 * int(np.prod(shape)) > threshold_bytes
 
 
 def group_norm_silu_reference(x, gamma, beta, num_groups=32, eps=1e-5, act="silu"):

@@ -210,6 +210,70 @@ def build_ddim_adv_steps(
 # ---------------------------------------------------------------------------
 
 
+def build_ddim_adv_d_split(
+    bundle,
+    schedule: DDPMSchedule,
+    cfg: DistillConfig,
+    adv: AdvConfig,
+    disc: Discriminator,
+    tx_d,
+) -> Tuple[Callable, Callable]:
+    """D step as two separately-jitted pieces with identical math to
+    `build_ddim_adv_steps`' d_step: (1) the big no-grad feature extraction
+    (prepare + stop-grad student pred + 2 frozen-teacher feature forwards),
+    (2) the tiny head grad/update. The D backward only touches the conv heads
+    — features are constants — so splitting changes nothing numerically while
+    each piece is a far smaller XLA program (the monolithic D graph can
+    SIGKILL the axon remote compiler; docs/ROUND1_NOTES.md session 3).
+
+    Usage: ``ff, uf = build_ddim_adv_d_split(...)``;
+    ``d_state, m = jit(uf)(d_state, *jit(ff)(g_state, d_state, frozen, batch, rng))``.
+    """
+    solver = PhasedDDIMSolver.create(schedule, cfg.num_solver_steps)
+    boundaries = jnp.asarray(phase_boundaries(cfg.num_solver_steps, cfg.multiphase))
+    stop_after_mid = not any(t.startswith("up") for t in disc.cfg.taps)
+    span = schedule.num_train_timesteps // cfg.multiphase
+
+    def feats_fn(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(jax.random.fold_in(rng, d_state.step), 7)
+        r, r_adv = jax.random.split(rng)
+        parts = ddim_prepare(
+            bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, batch, r
+        )
+        r_t, r_fake, r_real = jax.random.split(r_adv, 3)
+        bsz = parts["end_t"].shape[0]
+        adv_t = jnp.minimum(
+            parts["end_t"] + jax.random.randint(r_t, (bsz,), 0, span),
+            schedule.num_train_timesteps - 1,
+        )
+        model_pred = jax.lax.stop_gradient(
+            ddim_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
+        )
+        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+        eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+        fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
+        real = schedule.noise_travel(parts["target"], eps_real, parts["end_t"], adv_t)
+        fake_feats = bundle.teacher_features(
+            frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+        )
+        real_feats = bundle.teacher_features(
+            frozen, real, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+        )
+        return fake_feats, real_feats
+
+    def update_fn(d_state: TrainState, fake_feats, real_feats):
+        def loss_fn(dp):
+            fl = disc.apply({"params": dp}, fake_feats)
+            rl = disc.apply({"params": dp}, real_feats)
+            return hinge_d_loss(fl, rl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+        new_state = _apply_updates(d_state, grads, tx_d)
+        return new_state, {"d_loss": loss, "d_grad_norm": _grad_norm(grads)}
+
+    return feats_fn, update_fn
+
+
 def build_flow_adv_steps(
     bundle,
     schedule: FlowSchedule,

@@ -127,6 +127,11 @@ class Trainer:
 
             self.global_step += 1
             if self.global_step % cfg.log_every == 0:
+                from .prodigy import prodigy_d
+
+                d = prodigy_d(self.g_state.opt_state)
+                if d is not None:
+                    metrics = dict(metrics, prodigy_d=d)
                 now = time.time()
                 metrics = dict(metrics)
                 metrics["steps_per_sec"] = cfg.log_every / (now - t_last)

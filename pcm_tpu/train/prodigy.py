@@ -64,7 +64,9 @@ def prodigy(
     safeguard_warmup off). Weight decay is decoupled (``--prodigy_decouple``
     default True); the coupled variant is intentionally unsupported."""
     beta1, beta2 = betas
-    b3 = float(beta3) if beta3 is not None else float(jnp.sqrt(beta2))
+    # host-side constant (jnp here would touch the accelerator backend at
+    # optimizer-construction time)
+    b3 = float(beta3) if beta3 is not None else float(beta2) ** 0.5
 
     def init_fn(params):
         zeros = lambda t: jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), t)
@@ -132,3 +134,15 @@ def prodigy(
         )
 
     return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def prodigy_d(opt_state) -> Optional[jnp.ndarray]:
+    """Extract the current distance estimate ``d`` from a (possibly chained)
+    optimizer state — the one Prodigy number worth logging (the reference logs
+    only lr; with Prodigy the effective lr is ``lr·d``)."""
+    for leaf_state in jax.tree.leaves(
+        opt_state, is_leaf=lambda s: isinstance(s, ProdigyState)
+    ):
+        if isinstance(leaf_state, ProdigyState):
+            return leaf_state.d
+    return None

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--resolution", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = weight-only quantized frozen kernels "
+                         "(match the bench.py headline config)")
     args = ap.parse_args()
 
     from pcm_tpu.configs.families import sd15_bundle, sdxl_bundle
@@ -39,6 +42,11 @@ def main():
 
     bundle = sdxl_bundle() if args.family == "sdxl" else sd15_bundle()
     frozen, lora = init_frozen_fast(bundle, 0)
+    if args.weights == "int8":
+        from pcm_tpu.utils.quant import quantize_frozen
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            frozen = quantize_frozen(frozen)
     dev = jax.devices()[0]
     frozen = jax.device_put(frozen, dev)
     lora = jax.device_put(lora, dev)

@@ -188,3 +188,87 @@ def test_sdxl_adv_steps_stop_after_mid():
         for a, b in zip(jax.tree.leaves(g_state.params), jax.tree.leaves(g_state2.params))
     ]
     assert max(moved) > 0
+
+
+def test_disc_init_from_eval_shape_matches_real_forward():
+    """bench.py --mode adv initializes discriminator heads from an
+    eval_shape feature pass (no real teacher forward); param tree must match
+    init_discriminator's real-forward structure exactly."""
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, _ = bundle.init(jax.random.PRNGKey(0), IMG)
+    disc_cfg = DiscriminatorConfig(
+        taps=("down_0", "down_1", "mid", "up_0", "up_1"), num_h_per_head=2, kernel=3
+    )
+    disc = Discriminator(disc_cfg)
+    cond = bundle.encode_prompts(frozen, jnp.ones((1, 16), jnp.int32))
+    real = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), 16, cond)
+
+    feat_shapes = jax.eval_shape(
+        lambda: bundle.teacher_features(
+            frozen, jnp.zeros((1, 16, 16, 4), jnp.float32), jnp.zeros((1,)), cond
+        )
+    )
+    feats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes)
+    from_shapes = jax.jit(disc.init)(jax.random.PRNGKey(2), feats0)["params"]
+
+    assert jax.tree_util.tree_structure(real) == jax.tree_util.tree_structure(from_shapes)
+    for a, b in zip(jax.tree.leaves(real), jax.tree.leaves(from_shapes)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_split_d_matches_monolithic_d_step():
+    """build_ddim_adv_d_split (two small graphs) must produce bit-identical
+    D updates to build_ddim_adv_steps' monolithic d_step for the same rng."""
+    from pcm_tpu.train.adv import build_ddim_adv_d_split
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG)
+    disc_cfg = DiscriminatorConfig(
+        taps=("down_0", "down_1", "mid"), num_h_per_head=1, kernel=1
+    )
+    disc = Discriminator(disc_cfg)
+    rng = np.random.RandomState(0)
+    bsz = 2
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(bsz, IMG, IMG, 3) * 2 - 1, jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(1, 999, size=(bsz, 16))),
+        "uncond_embeds": jnp.zeros((bsz, 16, 32)),
+    }
+    cond = bundle.encode_prompts(frozen, batch["input_ids"])
+    d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), 16, cond)
+    tx_g = make_optimizer(1e-3)
+    tx_d = make_optimizer(1e-3, b1=0.0)
+    g_state = TrainState.create(lora, tx_g)
+    d_state = TrainState.create(d_params, tx_d)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2)
+
+    _, d_step = build_ddim_adv_steps(
+        bundle, make_ddpm_schedule(), cfg, AdvConfig(0.1), disc, tx_g, tx_d
+    )
+    feats_fn, update_fn = build_ddim_adv_d_split(
+        bundle, make_ddpm_schedule(), cfg, AdvConfig(0.1), disc, tx_d
+    )
+
+    key = jax.random.PRNGKey(5)
+    mono_state, mono_m = jax.jit(d_step)(g_state, d_state, frozen, batch, key)
+    ff, rf = jax.jit(feats_fn)(g_state, d_state, frozen, batch, key)
+    split_state, split_m = jax.jit(update_fn)(d_state, ff, rf)
+
+    np.testing.assert_allclose(
+        float(mono_m["d_loss"]), float(split_m["d_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(mono_state.params), jax.tree.leaves(split_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

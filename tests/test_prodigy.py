@@ -98,3 +98,14 @@ def test_make_optimizer_prodigy_wiring():
     new_p = optax.apply_updates(p, u)
     assert jnp.all(jnp.isfinite(new_p["w"]))
     assert float(jnp.max(jnp.abs(new_p["w"] - p["w"]))) > 0
+
+
+def test_prodigy_d_extraction():
+    from pcm_tpu.train.prodigy import prodigy_d
+
+    tx = make_optimizer(1.0, optimizer="prodigy")
+    p = {"w": jnp.ones((4,), jnp.float32)}
+    state = tx.init(p)
+    d = prodigy_d(state)
+    assert d is not None and abs(float(d) - 1e-6) < 1e-9
+    assert prodigy_d(optax.adam(1e-3).init(p)) is None
