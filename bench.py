@@ -279,6 +279,9 @@ def main():
                          "kernels (per-channel scales), VAE stays bf16")
     ap.add_argument("--mode", default="train", choices=["train", "infer", "adv"])
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
+    ap.add_argument("--d-graph", default="mono", choices=["mono", "split"],
+                    help="adv mode: compile the D step monolithically or as "
+                         "the split feature-pass + head-update pair")
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="VAE-decode this many samples at a time (infer mode; "
                          "bounds decoder memory so batch can exceed 4 at 1024px)")
@@ -358,11 +361,14 @@ def main_adv(args, frozen, g_state, steps, batch):
     cg = jg.lower(g_state, d_state, frozen, batch, rng).compile()
     cd = split = None
     try:
+        if args.d_graph == "split":
+            raise RuntimeError("--d-graph split requested")
         cd = jd.lower(g_state, d_state, frozen, batch, rng).compile()
     except Exception as e:  # remote compiler SIGKILLs big graphs sometimes
-        print(f"# monolithic D compile failed ({type(e).__name__}); trying the "
-              "split-D pair (bit-identical math, two smaller graphs)",
-              file=sys.stderr)
+        if args.d_graph != "split":
+            print(f"# monolithic D compile failed ({type(e).__name__}); trying "
+                  "the split-D pair (bit-identical math, two smaller graphs)",
+                  file=sys.stderr)
         try:
             if split_fns is None:
                 raise RuntimeError("no split-D builder for this family")

@@ -60,9 +60,25 @@ class Trainer:
         self.validation_fn = validation_fn
         self.adversarial = adv_steps is not None
         if self.adversarial:
-            g_step, d_step = adv_steps
-            self._g_step = jax.jit(g_step, donate_argnums=(0,))
-            self._d_step = jax.jit(d_step, donate_argnums=(1,))
+            if len(adv_steps) == 3:
+                # (g_step, feats_fn, update_fn) — split-D mode: the D step as
+                # two smaller XLA programs, bit-identical to the monolithic
+                # d_step (adv.py:build_ddim_adv_d_split; the monolithic
+                # SDXL-1024 D graph can SIGKILL the remote compiler)
+                g_step, feats_fn, update_fn = adv_steps
+                jf = jax.jit(feats_fn)
+                ju = jax.jit(update_fn, donate_argnums=(0,))
+
+                def d_step(g_state, d_state, frozen, batch, rng):
+                    fake_feats, real_feats = jf(g_state, d_state, frozen, batch, rng)
+                    return ju(d_state, fake_feats, real_feats)
+
+                self._g_step = jax.jit(g_step, donate_argnums=(0,))
+                self._d_step = d_step
+            else:
+                g_step, d_step = adv_steps
+                self._g_step = jax.jit(g_step, donate_argnums=(0,))
+                self._d_step = jax.jit(d_step, donate_argnums=(1,))
         else:
             self._step = jax.jit(step_fn, donate_argnums=(0,))
 

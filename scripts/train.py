@@ -54,6 +54,11 @@ def main():
                          "it with --learning-rate 1.0 (ref SD3 trainers)")
     ap.add_argument("--learning-rate", type=float, default=None,
                     help="override the recipe learning rate")
+    ap.add_argument("--split-d", action="store_true",
+                    help="compile the adversarial D step as two smaller XLA "
+                         "programs (feature pass + head update; bit-identical "
+                         "math) — use when the monolithic D graph is too big "
+                         "for the compiler")
     ap.add_argument("--frozen-weights", default="bf16", choices=["bf16", "int8"],
                     help="int8 = store frozen teacher/text kernels as "
                          "weight-only quantized int8 (per-channel scales; VAE "
@@ -246,6 +251,17 @@ def main():
             bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight), disc, tx_g, tx_d,
             grad_accum_steps=accum,
         )
+        if args.split_d:
+            if recipe.family == "sd3" or accum > 1:
+                ap.error("--split-d supports the DDIM families (sd15/sdxl) "
+                         "without gradient accumulation")
+            from pcm_tpu.train.adv import build_ddim_adv_d_split
+
+            feats_fn, update_fn = build_ddim_adv_d_split(
+                bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight),
+                disc, tx_d,
+            )
+            steps = (steps[0], feats_fn, update_fn)
         trainer = Trainer(
             loop_cfg, frozen, g_state, adv_steps=steps, d_state=d_state, mesh=mesh
         )
