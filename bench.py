@@ -161,13 +161,12 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         g_step, d_step = adv_builder(
             bundle, schedule, cfg, AdvConfig(0.1), disc, tx, tx_d
         )
-        split_fns = None
-        if family != "sd3":
-            from pcm_tpu.train.adv import build_ddim_adv_d_split
+        from pcm_tpu.train.adv import build_ddim_adv_d_split, build_flow_adv_d_split
 
-            split_fns = build_ddim_adv_d_split(
-                bundle, schedule, cfg, AdvConfig(0.1), disc, tx_d
-            )
+        split_builder = (
+            build_flow_adv_d_split if family == "sd3" else build_ddim_adv_d_split
+        )
+        split_fns = split_builder(bundle, schedule, cfg, AdvConfig(0.1), disc, tx_d)
         step = (g_step, d_step, d_state, split_fns)
 
     rng = np.random.RandomState(0)

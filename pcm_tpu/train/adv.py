@@ -274,6 +274,62 @@ def build_ddim_adv_d_split(
     return feats_fn, update_fn
 
 
+def _flow_renoise(x, eps, sig_end, sig_adv):
+    # flow-space renoise (`train_pcm_lora_sd3_adv.py:1446-1453`)
+    return ((1.0 - sig_adv) * x + (sig_adv - sig_end) * eps) / (1.0 - sig_end)
+
+
+def build_flow_adv_d_split(
+    bundle,
+    schedule: FlowSchedule,
+    cfg: DistillConfig,
+    adv: AdvConfig,
+    disc: Discriminator,
+    tx_d,
+) -> Tuple[Callable, Callable]:
+    """Flow-family (SD3) analog of `build_ddim_adv_d_split`: the D step as a
+    no-grad feature pass + head update, bit-identical to
+    `build_flow_adv_steps`' d_step. The SD3 D graph carries two extra frozen
+    MMDiT forwards with 24 feature taps each — the same compiler-size
+    pressure as SDXL's."""
+    solver = PhasedEulerSolver.create(schedule, cfg.num_solver_steps)
+    span = cfg.num_solver_steps // cfg.multiphase
+
+    def feats_fn(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(jax.random.fold_in(rng, d_state.step), 7)
+        r, r_adv = jax.random.split(rng)
+        parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, batch, r)
+        r_t, r_fake, r_real = jax.random.split(r_adv, 3)
+        end_index = parts["end_index"]
+        bsz = end_index.shape[0]
+        adv_index = end_index + jax.random.randint(r_t, (bsz,), 0, span)
+        sig_end = _bcast(solver.sigmas_prev[end_index], parts["latents"].ndim)
+        sig_adv = _bcast(solver.sigmas_prev[adv_index], parts["latents"].ndim)
+        t_adv = solver.sigmas_prev[adv_index] * schedule.num_train_timesteps
+        model_pred = jax.lax.stop_gradient(
+            flow_model_pred(bundle, schedule, solver, cfg, frozen, g_state.params, parts)
+        )
+        eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+        eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+        fake = _flow_renoise(model_pred, eps_fake, sig_end, sig_adv)
+        real = _flow_renoise(parts["target"], eps_real, sig_end, sig_adv)
+        fake_feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
+        real_feats = bundle.teacher_features(frozen, real, t_adv, parts["cond"])
+        return fake_feats, real_feats
+
+    def update_fn(d_state: TrainState, fake_feats, real_feats):
+        def loss_fn(dp):
+            fl = disc.apply({"params": dp}, fake_feats)
+            rl = disc.apply({"params": dp}, real_feats)
+            return hinge_d_loss(fl, rl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+        new_state = _apply_updates(d_state, grads, tx_d)
+        return new_state, {"d_loss": loss, "d_grad_norm": _grad_norm(grads)}
+
+    return feats_fn, update_fn
+
+
 def build_flow_adv_steps(
     bundle,
     schedule: FlowSchedule,
@@ -297,9 +353,7 @@ def build_flow_adv_steps(
         t_adv = solver.sigmas_prev[adv_index] * schedule.num_train_timesteps
         return sig_end, sig_adv, t_adv, r_fake, r_real
 
-    def _renoise(x, eps, sig_end, sig_adv):
-        # flow-space renoise (`train_pcm_lora_sd3_adv.py:1446-1453`)
-        return ((1.0 - sig_adv) * x + (sig_adv - sig_end) * eps) / (1.0 - sig_end)
+    _renoise = _flow_renoise
 
     def g_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
         rng = jax.random.fold_in(rng, g_state.step)

@@ -252,12 +252,18 @@ def main():
             grad_accum_steps=accum,
         )
         if args.split_d:
-            if recipe.family == "sd3" or accum > 1:
-                ap.error("--split-d supports the DDIM families (sd15/sdxl) "
-                         "without gradient accumulation")
-            from pcm_tpu.train.adv import build_ddim_adv_d_split
+            if accum > 1:
+                ap.error("--split-d does not support gradient accumulation")
+            from pcm_tpu.train.adv import (
+                build_ddim_adv_d_split,
+                build_flow_adv_d_split,
+            )
 
-            feats_fn, update_fn = build_ddim_adv_d_split(
+            split_builder = (
+                build_flow_adv_d_split if recipe.family == "sd3"
+                else build_ddim_adv_d_split
+            )
+            feats_fn, update_fn = split_builder(
                 bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight),
                 disc, tx_d,
             )

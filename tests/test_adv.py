@@ -272,3 +272,59 @@ def test_split_d_matches_monolithic_d_step():
         float(mono_m["d_loss"]), float(split_m["d_loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(mono_state.params), jax.tree.leaves(split_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_flow_split_d_matches_monolithic_d_step():
+    """build_flow_adv_d_split must produce bit-identical D updates to
+    build_flow_adv_steps' monolithic d_step for the same rng (SD3 family)."""
+    from pcm_tpu.train.adv import build_flow_adv_d_split
+
+    clip_sd3 = CLIPTextConfig(
+        vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, projection_dim=16,
+    )
+    t5_cfg = dataclasses.replace(TINY_T5_CONFIG, d_model=32, d_kv=8, d_ff=64)
+    bundle = SD3Bundle(
+        mmdit_cfg=TINY_MMDIT_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+        text_cfg=clip_sd3, text2_cfg=clip_sd3, t5_cfg=t5_cfg,
+        lora=LoRASpec(rank=4, targets=SD3_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG, seq_len=8)
+    disc_cfg = DiscriminatorConfig(taps=("block_0", "block_1"), num_h_per_head=1, kernel=1)
+    disc = Discriminator(disc_cfg)
+    rng = np.random.RandomState(0)
+    bsz = 2
+    batch = {
+        "pixel_values": jnp.asarray(rng.rand(bsz, IMG, IMG, 3) * 2 - 1, jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(1, 999, size=(bsz, 8))),
+        "input_ids_2": jnp.asarray(rng.randint(1, 999, size=(bsz, 8))),
+        "input_ids_3": jnp.asarray(rng.randint(0, 999, size=(bsz, 8))),
+        "uncond_embeds": jnp.zeros((bsz, 16, 32)),
+        "uncond_pooled": jnp.zeros((bsz, 32)),
+    }
+    cond = bundle.encode_prompts(
+        frozen, batch["input_ids"], batch["input_ids_2"], batch["input_ids_3"]
+    )
+    d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), 16, cond)
+    tx_g = make_optimizer(1e-3)
+    tx_d = make_optimizer(1e-3, b1=0.0)
+    g_state = TrainState.create(lora, tx_g)
+    d_state = TrainState.create(d_params, tx_d)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2, fixed_w=3.0)
+
+    _, d_step = build_flow_adv_steps(
+        bundle, make_flow_schedule(shift=3.0), cfg, AdvConfig(0.1), disc, tx_g, tx_d
+    )
+    feats_fn, update_fn = build_flow_adv_d_split(
+        bundle, make_flow_schedule(shift=3.0), cfg, AdvConfig(0.1), disc, tx_d
+    )
+
+    key = jax.random.PRNGKey(5)
+    mono_state, mono_m = jax.jit(d_step)(g_state, d_state, frozen, batch, key)
+    ff, rf = jax.jit(feats_fn)(g_state, d_state, frozen, batch, key)
+    split_state, split_m = jax.jit(update_fn)(d_state, ff, rf)
+
+    np.testing.assert_allclose(
+        float(mono_m["d_loss"]), float(split_m["d_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(mono_state.params), jax.tree.leaves(split_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
