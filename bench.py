@@ -36,6 +36,39 @@ A800_PEAK_FLOPS = 312e12
 REF_ASSUMED_MFU = 0.20  # see module docstring
 
 
+def _init_weights(bundle, family: str, lora_rank: int, weights: str):
+    """Build (or disk-cache-load) the frozen+LoRA param trees and push them to
+    the chip. Round 1's driver bench timed out on 1607 s of host init
+    (numpy fill + CPU quantize); the treecache makes warm runs load in
+    seconds (VERDICT.md round-1 item #1)."""
+    from pcm_tpu.utils.treecache import load_or_build
+
+    def build_trees():
+        # init on the host CPU backend (the TPU remote compiler chokes on the
+        # billion-parameter init graph)
+        from pcm_tpu.train.bundles import init_frozen_fast
+
+        frozen, lora = init_frozen_fast(bundle, seed=0)
+        if weights == "int8":
+            # weight-only int8 frozen weights (per-output-channel scales, VAE
+            # kept bf16): ~2.6G HBM back on SDXL — enough to run remat="none"
+            from pcm_tpu.utils.quant import quantize_frozen, quantized_bytes_saved
+
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                frozen = quantize_frozen(frozen)
+            print(f"# int8 weights: {quantized_bytes_saved(frozen)/2**30:.2f} GiB saved",
+                  file=sys.stderr)
+        return {"frozen": frozen, "lora": lora}
+
+    key = f"{family}-r{lora_rank}-{weights}-seed0-v1"
+    trees = load_or_build(f"/tmp/pcm_tree_cache/{key}", build_trees)
+    dev = jax.devices()[0]
+    frozen = jax.device_put(trees["frozen"], dev)
+    lora = jax.device_put(trees["lora"], dev)
+    jax.block_until_ready(frozen)
+    return frozen, lora
+
+
 def _bench_cond(bundle, family, frozen, batch):
     """Zero cond tree with the right structure/shapes (via eval_shape — no
     real text-encoder forward)."""
@@ -103,24 +136,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
     # 197M LoRA params cost 1.57G HBM and push the 1024px step out of memory
     tx = make_optimizer(2e-6, use_8bit=(adam == "8bit"))
     t0 = time.time()
-    # init on the host CPU backend (the TPU remote compiler chokes on the
-    # billion-parameter init graph), then push bf16 weights to the chip
-    from pcm_tpu.train.bundles import init_frozen_fast
-
-    frozen, lora = init_frozen_fast(bundle, seed=0)
-    if weights == "int8":
-        # weight-only int8 frozen weights (per-output-channel scales, VAE kept
-        # bf16): ~2.6G HBM back on SDXL — enough to run remat="none"
-        from pcm_tpu.utils.quant import quantize_frozen, quantized_bytes_saved
-
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            frozen = quantize_frozen(frozen)
-        print(f"# int8 weights: {quantized_bytes_saved(frozen)/2**30:.2f} GiB saved",
-              file=sys.stderr)
-    dev = jax.devices()[0]
-    frozen = jax.device_put(frozen, dev)
-    lora = jax.device_put(lora, dev)
-    jax.block_until_ready(frozen)
+    frozen, lora = _init_weights(bundle, family, lora_rank, weights)
     print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
     state = TrainState.create(lora, tx)
     builder = build_flow_distill_step if family == "sd3" else build_ddim_distill_step
@@ -208,22 +224,13 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.sampling import DDIMSampler, PCMFMSampler, TextToImagePipeline
-    from pcm_tpu.train.bundles import init_frozen_fast
 
     if family == "sd3":
         bundle = sd3_bundle(remat=False)
     else:
         bundle = (sdxl_bundle if family == "sdxl" else sd15_bundle)(remat=False)
-    frozen, lora = init_frozen_fast(bundle, seed=0)
-    if weights == "int8":
-        from pcm_tpu.utils.quant import quantize_frozen
-
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            frozen = quantize_frozen(frozen)
-    dev = jax.devices()[0]
-    frozen = jax.device_put(frozen, dev)
-    lora = jax.device_put(lora, dev)
-    jax.block_until_ready(frozen)
+    default_rank = 32 if family == "sd3" else 64
+    frozen, lora = _init_weights(bundle, family, default_rank, weights)
 
     if family == "sd3":
         # ref validation scheduler: PCMFMDeterministicScheduler(1000, 3.0, 100)

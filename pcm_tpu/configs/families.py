@@ -11,7 +11,12 @@ import jax.numpy as jnp
 
 from ..lora.layers import LoRASpec
 from ..models.clip import CLIP_BIG_G_CONFIG, CLIP_L_CONFIG
-from ..models.mmdit import SD3_ADV_LORA_TARGETS, SD3_LORA_TARGETS, SD3_MEDIUM_CONFIG
+from ..models.mmdit import (
+    SD3_ADV_LORA_TARGETS,
+    SD3_ADV_STOCHASTIC_LORA_TARGETS,
+    SD3_LORA_TARGETS,
+    SD3_MEDIUM_CONFIG,
+)
 from ..models.t5 import T5_XXL_CONFIG
 from ..models.unet import SD15_CONFIG, SDXL_CONFIG
 from ..models.vae import SD3_VAE_CONFIG, SD15_VAE_CONFIG, SDXL_VAE_CONFIG
@@ -50,20 +55,23 @@ def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
 
 def sd3_bundle(
     lora_rank: int = 32, dtype=jnp.bfloat16, remat: bool = True, adv_targets: bool = False,
-    remat_policy=None,
+    remat_policy=None, stochastic: bool = False,
 ) -> SD3Bundle:
+    """``adv_targets`` extends LoRA to the reference's adversarial target list;
+    ``stochastic`` additionally drops ``pos_embed.proj`` (the
+    `train_pcm_lora_sd3_adv_stochastic.py:986-1008` target-list diff)."""
     clip_l = dataclasses.replace(CLIP_L_CONFIG, projection_dim=768)
+    if adv_targets:
+        targets = SD3_ADV_STOCHASTIC_LORA_TARGETS if stochastic else SD3_ADV_LORA_TARGETS
+    else:
+        targets = SD3_LORA_TARGETS
     return SD3Bundle(
         mmdit_cfg=SD3_MEDIUM_CONFIG,
         vae_cfg=SD3_VAE_CONFIG,
         text_cfg=clip_l,
         text2_cfg=CLIP_BIG_G_CONFIG,
         t5_cfg=T5_XXL_CONFIG,
-        lora=LoRASpec(
-            rank=lora_rank,
-            alpha=8.0,
-            targets=SD3_ADV_LORA_TARGETS if adv_targets else SD3_LORA_TARGETS,
-        ),
+        lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=targets),
         dtype=dtype,
         remat=remat,
         remat_policy=remat_policy,
@@ -89,6 +97,9 @@ class Recipe:
     adv_lr: float = 1e-5
     adv_weight: float = 0.1
     proportion_empty_prompts: float = 0.0
+    # SD3 stochastic-adv variant: shift-3 scheduler baked + LoRA targets
+    # without pos_embed.proj (+ validates with the stochastic sampler)
+    stochastic: bool = False
 
 
 RECIPES = {
@@ -137,6 +148,6 @@ RECIPES = {
     "sd3_adv_stochastic": Recipe(
         "sd3_adv_stochastic", "sd3", 1024, 2, 20000, 5e-6,
         DistillConfig(num_solver_steps=100, multiphase=1, fixed_w=3.0),
-        lora_rank=32, adversarial=True,
+        lora_rank=32, adversarial=True, stochastic=True,
     ),
 }

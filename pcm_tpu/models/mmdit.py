@@ -245,16 +245,25 @@ class _TimestepMLP(nn.Module):
         return LoRADense(self.dim, dtype=self.dtype, lora=self.lora, name="linear_2")(h)
 
 
-# LoRA target list mirroring the reference SD3 trainers
-# (`train_pcm_lora_sd3.py:975-989`; adv extends at `train_pcm_lora_sd3_adv.py:996-1014`)
+# LoRA target lists mirroring the reference SD3 trainers, with peft's
+# endswith-matching translated to our '/'-joined-path substring matcher:
+#
+# * base (`train_pcm_lora_sd3.py:978-988`): attention qkv/out, the block FF
+#   (ff.net.* — NOT ff_context, which peft's ".ff.net.0.proj" suffix match
+#   excludes), and the model-level `proj_out` final projection ("proj_in"
+#   matches nothing on SD3Transformer2DModel).
+# * adv (`train_pcm_lora_sd3_adv.py:996-1015`): + joint-stream add_* projs,
+#   ff_context, AdaLN linears, context/text/timestep embedders, pos_embed.proj.
+# * adv_stochastic (`train_pcm_lora_sd3_adv_stochastic.py:986-1008`): the adv
+#   list WITHOUT pos_embed.proj.
 SD3_LORA_TARGETS = (
-    "to_q", "to_k", "to_v", "to_out_0", "net_0_proj", "net_2",
+    "to_q", "to_k", "to_v", "to_out_0", "ff/net_0_proj", "ff/net_2", "proj_out",
 )
-SD3_ADV_LORA_TARGETS = SD3_LORA_TARGETS + (
+SD3_ADV_STOCHASTIC_LORA_TARGETS = SD3_LORA_TARGETS + (
     "add_q_proj", "add_k_proj", "add_v_proj", "to_add_out",
     "ff_context/net_0_proj", "ff_context/net_2",
     "norm1/linear", "norm1_context/linear", "context_embedder",
     "text_embedder/linear_1", "text_embedder/linear_2",
     "timestep_embedder/linear_1", "timestep_embedder/linear_2",
-    "pos_embed/proj",
 )
+SD3_ADV_LORA_TARGETS = SD3_ADV_STOCHASTIC_LORA_TARGETS + ("pos_embed/proj",)

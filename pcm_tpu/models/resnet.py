@@ -46,7 +46,15 @@ class ResnetBlock2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
-    """3x3 stride-2 conv with diffusers' asymmetric (0,1) padding."""
+    """3x3 stride-2 conv with symmetric padding=1.
+
+    diffusers' UNet2DConditionModel uses ``downsample_padding=1`` (torch
+    ``Conv2d(..., stride=2, padding=1)``); for even spatial sizes that equals
+    lax padding ``((1,1),(1,1))`` — windows start at -1, the trailing pad row
+    is unused. The asymmetric (0,1) pad belongs ONLY to the VAE encoder
+    (``DownEncoderBlock2D`` pads (0,1,0,1) explicitly) — using it here was a
+    round-1 teacher-parity bug caught by tests/test_parity_torch.py.
+    """
 
     channels: int
     dtype: jnp.dtype = jnp.float32
@@ -55,7 +63,7 @@ class Downsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return LoRAConv(
-            self.channels, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
+            self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
             dtype=self.dtype, lora=self.lora, name="conv",
         )(x)
 

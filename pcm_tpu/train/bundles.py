@@ -418,28 +418,35 @@ def init_frozen_fast(bundle, seed: int = 0, cast_dtype=jnp.bfloat16):
     frozen_s, lora_s = shapes
     rng = np.random.default_rng(seed)
 
+    def np_dtype(d):
+        # pure-numpy leaves: one XLA-CPU dispatch per leaf (jnp.asarray) cost
+        # ~25 min of single-core wall on SDXL in round 1; numpy+ml_dtypes
+        # casting is C-speed and device_put consumes np arrays directly
+        return np.dtype(d)
+
     def fill(path, sds):
         name = jax.tree_util.keystr(path).lower()
         shape, dtype = sds.shape, sds.dtype
         if cast_dtype is not None and dtype == jnp.float32:
             dtype = cast_dtype
+        dtype = np_dtype(dtype)
         if not shape:
-            return jnp.zeros((), dtype)
+            return np.zeros((), dtype)
         if "'scale'" in name or "'weight'" in name and len(shape) == 1:
-            return jnp.ones(shape, dtype)
+            return np.ones(shape, dtype)
         if "'bias'" in name or name.endswith("['b']"):
-            return jnp.zeros(shape, dtype)
+            return np.zeros(shape, dtype)
         fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else shape[0]
         std = 1.0 / max(fan_in, 1) ** 0.5
-        arr = rng.standard_normal(size=shape, dtype=np.float32) * std
-        return jnp.asarray(arr, dtype)
+        arr = rng.standard_normal(size=shape, dtype=np.float32) * np.float32(std)
+        return arr.astype(dtype) if arr.dtype != dtype else arr
 
     frozen = jax.tree_util.tree_map_with_path(fill, frozen_s)
     lora = jax.tree_util.tree_map_with_path(
         lambda p, sds: fill(p, sds) if not jax.tree_util.keystr(p).endswith("['b']")
-        else jnp.zeros(sds.shape, jnp.float32),
+        else np.zeros(sds.shape, np.float32),
         lora_s,
     )
     # lora params stay fp32 (master weights)
-    lora = jax.tree.map(lambda x: x.astype(jnp.float32), lora)
+    lora = jax.tree.map(lambda x: np.asarray(x, np.float32), lora)
     return frozen, lora

@@ -159,7 +159,13 @@ class Trainer:
 
             if self.validation_fn is not None and self.global_step % cfg.validation_steps == 0:
                 images = self.validation_fn(self.frozen, self.g_state.params, self.global_step)
-                if images is not None:
+                if isinstance(images, dict):
+                    # tagged grids, e.g. one per guidance scale — mirrors the
+                    # reference's two log_validation calls at cfg 1 and 7.5
+                    # (`train_pcm_lora_sd15.py:1346-1365`)
+                    for tag, imgs in images.items():
+                        self.logger.log_images(self.global_step, f"validation/{tag}", imgs)
+                elif images is not None:
                     self.logger.log_images(self.global_step, "validation", images)
 
         self._save()

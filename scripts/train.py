@@ -54,6 +54,12 @@ def main():
                          "it with --learning-rate 1.0 (ref SD3 trainers)")
     ap.add_argument("--learning-rate", type=float, default=None,
                     help="override the recipe learning rate")
+    ap.add_argument("--lr-scheduler", default="constant",
+                    choices=["constant", "cosine"],
+                    help="LR schedule (ref --lr_scheduler, "
+                         "train_pcm_lora_sd15.py:1026-1033)")
+    ap.add_argument("--lr-warmup-steps", type=int, default=0,
+                    help="linear LR warmup steps (ref --lr_warmup_steps)")
     ap.add_argument("--split-d", action="store_true",
                     help="compile the adversarial D step as two smaller XLA "
                          "programs (feature pass + head update; bit-identical "
@@ -122,7 +128,8 @@ def main():
         tok_keys = ["input_ids", "input_ids_2"]
     else:
         bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial,
-                            remat=use_remat, remat_policy=policy)
+                            remat=use_remat, remat_policy=policy,
+                            stochastic=recipe.stochastic)
         schedule = make_flow_schedule(shift=3.0)
         build_plain, build_adv = build_flow_distill_step, build_flow_adv_steps
         disc_cfg = SD3_DISC_CONFIG
@@ -160,6 +167,9 @@ def main():
         lr, max_grad_norm=1.0,
         use_8bit=args.use_8bit_adam and args.optimizer == "adamw",
         optimizer=args.optimizer,
+        warmup_steps=args.lr_warmup_steps,
+        schedule=args.lr_scheduler,
+        total_steps=max_steps,
     )
     g_state = TrainState.create(lora, tx_g)
 
@@ -295,25 +305,52 @@ def main():
     pipe = TextToImagePipeline(bundle, sampler)
     val_prompts = args.validation_prompts
     if val_prompts:
-        vids = {key: jnp.asarray(toks[key](val_prompts)) for key in tok_keys}
-        if recipe.family == "sd15":
-            vcond = bundle.encode_prompts(frozen, vids["input_ids"])
-        elif recipe.family == "sdxl":
-            vt = jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
-                          (len(val_prompts), 1))
-            vcond = bundle.encode_prompts(frozen, vids["input_ids"], vids["input_ids_2"], vt)
-        else:
-            vcond = bundle.encode_prompts(
-                frozen, vids["input_ids"], vids["input_ids_2"], vids["input_ids_3"]
+        # reference parity: 4 images per prompt, at cfg 1 AND 7.5 for
+        # SD1.5/SDXL (`train_pcm_lora_sd15.py:166-172,1346-1365`); SD3
+        # validates at cfg 1.5 (`train_pcm_lora_sd3.py:1472-1476`). One
+        # compiled graph per (cfg on/off); prompts loop outside the jit so
+        # the 1024px VAE decode stays within HBM (batch 4 per call).
+        images_per_prompt = 4
+        val_cfgs = (1.5,) if recipe.family == "sd3" else (1.0, 7.5)
+
+        def _encode_val(texts, n):
+            ids = {key: jnp.asarray(toks[key](texts)) for key in tok_keys}
+            if recipe.family == "sd15":
+                return bundle.encode_prompts(frozen, ids["input_ids"])
+            if recipe.family == "sdxl":
+                vt = jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
+                              (n, 1))
+                return bundle.encode_prompts(
+                    frozen, ids["input_ids"], ids["input_ids_2"], vt)
+            return bundle.encode_prompts(
+                frozen, ids["input_ids"], ids["input_ids_2"], ids["input_ids_3"])
+
+        def _tile(tree):
+            return jax.tree.map(
+                lambda x: jnp.repeat(x, images_per_prompt, axis=0), tree)
+
+        vconds = [_tile(_encode_val([p], 1)) for p in val_prompts]
+        vuncond = _tile(_encode_val([""], 1))
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def gen(f, l, c, r, g):
+            u = vuncond if g > 1.0 else None
+            return pipe.generate(
+                f, l, c, u, r, latent_hw=res // 8, guidance_scale=g,
+                decode_chunk=2 if res >= 1024 else None,
             )
-        gen = jax.jit(
-            lambda f, l, r: pipe.generate(
-                f, l, vcond, None, r, latent_hw=res // 8, guidance_scale=1.0
-            )
-        )
 
         def validation_fn(frozen_, lora_, step_):
-            return np.asarray(gen(frozen_, lora_, jax.random.PRNGKey(step_)))
+            out = {}
+            for g in val_cfgs:
+                grids = []
+                for pi, c in enumerate(vconds):
+                    key = jax.random.fold_in(jax.random.PRNGKey(args.seed), 1000 * pi)
+                    grids.append(np.asarray(gen(frozen_, lora_, c, key, g)))
+                out[f"cfg{g:g}"] = np.concatenate(grids, axis=0)
+            return out
 
         trainer.validation_fn = validation_fn
 
