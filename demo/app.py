@@ -59,7 +59,24 @@ def build_generator(args):
     tok = HFTokenizer(args.tokenizer_dir) if args.tokenizer_dir else HashTokenizer()
     sched = make_ddpm_schedule()
     res = 512 if args.family == "sd15" else 1024
-    safety = SafetyChecker()
+
+    # live safety checker (ref demo/safety_checker.py:31-137): CLIP ViT-L/14
+    # image features vs concept embeddings. Needs BOTH the concept npz and the
+    # vision-tower weights; anything less is announced, not silently skipped.
+    safety = SafetyChecker(args.safety_concepts)
+    vision_extract = None
+    if safety.active:
+        if not args.safety_clip_weights:
+            raise SystemExit(
+                "--safety-concepts requires --safety-clip-weights "
+                "(CLIP vision tower checkpoint) to compute image features"
+            )
+        from pcm_tpu.utils.fid import CLIPFeatures
+
+        vision_extract = CLIPFeatures.from_torch_file(args.safety_clip_weights)
+        print("# safety checker ACTIVE (CLIP ViT-L/14 + concept embeddings)")
+    else:
+        print("# safety checker disabled (no --safety-concepts provided)")
 
     @functools.lru_cache(maxsize=4)
     def make_pipe(mode):
@@ -94,8 +111,10 @@ def build_generator(args):
             latent_hw=res // 8, guidance_scale=cfg,
         )
         arr = np.clip((np.asarray(img[0], np.float32) + 1) * 127.5, 0, 255).astype(np.uint8)
-        if safety.is_unsafe(arr):
-            arr = np.zeros_like(arr)
+        if vision_extract is not None:
+            feats = vision_extract(np.asarray(img[:1], np.float32))[0]
+            if safety.is_unsafe(arr, image_features=feats):
+                arr = np.zeros_like(arr)
         return arr
 
     return generate
@@ -110,6 +129,12 @@ def main():
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
                     help="int8 = weight-only quantized frozen kernels")
+    ap.add_argument("--safety-concepts", default=None,
+                    help="npz with concept_embeds/_weights + special_care_* "
+                         "(ported from the HF safety checker)")
+    ap.add_argument("--safety-clip-weights", default=None,
+                    help="CLIP ViT-L/14 vision checkpoint (.safetensors/.bin) "
+                         "for image features")
     args = ap.parse_args()
 
     generate = build_generator(args)

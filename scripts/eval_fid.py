@@ -54,16 +54,22 @@ def main():
     ap.add_argument("--image-dir-a")
     ap.add_argument("--image-dir-b")
     ap.add_argument("--extractor", default=None, help="import path 'module:callable'")
+    ap.add_argument("--clip-weights", default=None,
+                    help="HF CLIPVisionModelWithProjection checkpoint "
+                         "(.safetensors/.bin); runs the parity-tested ViT-L/14 "
+                         "tower -> CLIP-FID")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--resolution", type=int, default=299)
     args = ap.parse_args()
 
-    from pcm_tpu.utils.fid import fid_from_features, fid_from_generator
+    from pcm_tpu.utils.fid import CLIPFeatures, fid_from_features, fid_from_generator
 
     if args.features_a and args.features_b:
         fid = fid_from_features(np.load(args.features_a), np.load(args.features_b))
     elif args.image_dir_a and args.image_dir_b:
-        if args.extractor:
+        if args.clip_weights:
+            extract = CLIPFeatures.from_torch_file(args.clip_weights, batch=args.batch)
+        elif args.extractor:
             mod, fn = args.extractor.split(":")
             extract = getattr(importlib.import_module(mod), fn)
         else:

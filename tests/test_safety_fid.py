@@ -1,0 +1,64 @@
+"""Safety checker + FID harness behavior (VERDICT round-1 items #3/#4).
+
+The concept-threshold algorithm mirrors the reference's CLIP-based checker
+(`/root/reference/demo/safety_checker.py:31-137`); image features come from
+the parity-tested CLIP vision tower (tests/test_clip_vision.py).
+"""
+
+import numpy as np
+import pytest
+
+from pcm_tpu.utils.fid import CLIPFeatures, fid_from_features
+from pcm_tpu.utils.safety import SafetyChecker
+
+
+@pytest.fixture()
+def concepts_npz(tmp_path):
+    rng = np.random.RandomState(0)
+    concept = rng.randn(3, 8).astype(np.float32)
+    concept /= np.linalg.norm(concept, axis=-1, keepdims=True)
+    special = rng.randn(2, 8).astype(np.float32)
+    special /= np.linalg.norm(special, axis=-1, keepdims=True)
+    path = tmp_path / "concepts.npz"
+    np.savez(
+        path,
+        concept_embeds=concept,
+        concept_embeds_weights=np.full((3,), 0.5, np.float32),
+        special_care_embeds=special,
+        special_care_embeds_weights=np.full((2,), 0.5, np.float32),
+    )
+    return str(path), concept, special
+
+
+def test_safety_checker_flags_and_passes(concepts_npz):
+    path, concept, special = concepts_npz
+    checker = SafetyChecker(path)
+    assert checker.active
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    # feature aligned with concept 0 -> cosine 1.0 > 0.5 threshold -> flagged
+    assert checker.is_unsafe(img, image_features=concept[0]) is True
+    # feature orthogonal to every concept -> passes
+    basis = np.concatenate([concept, special])
+    # project a vector out of span(basis) via an orthonormal (QR) basis
+    q, _ = np.linalg.qr(basis.T)  # (8, 5) orthonormal columns
+    v = np.random.RandomState(1).randn(8).astype(np.float32)
+    v = v - q @ (q.T @ v)
+    assert np.abs(basis @ v).max() < 1e-5
+    assert checker.is_unsafe(img, image_features=v) is False
+    # inactive checker (no concepts) never flags
+    assert SafetyChecker().is_unsafe(img, image_features=concept[0]) is False
+
+
+def test_clip_features_and_fid_smoke():
+    from pcm_tpu.models.clip_vision import TINY_CLIP_VISION_CONFIG
+
+    extract = CLIPFeatures(cfg=TINY_CLIP_VISION_CONFIG, batch=4)
+    rng = np.random.RandomState(0)
+    imgs_a = (rng.rand(6, 32, 32, 3).astype(np.float32)) * 2 - 1
+    imgs_b = (rng.rand(6, 32, 32, 3).astype(np.float32)) * 2 - 1
+    fa, fb = extract(imgs_a), extract(imgs_b)
+    assert fa.shape == (6, TINY_CLIP_VISION_CONFIG.projection_dim)
+    # identical feature sets -> FID ~ 0; different sets -> strictly larger
+    assert abs(fid_from_features(fa, fa)) < 1e-6
+    assert fid_from_features(fa, fb) > 0
