@@ -10,6 +10,7 @@ runs in environments without the vocab files.
 from __future__ import annotations
 
 import hashlib
+import warnings
 from typing import List, Sequence
 
 import numpy as np
@@ -23,7 +24,16 @@ class HashTokenizer:
         bos_id: int | None = None,
         eos_id: int | None = None,
         pad_id: int | None = None,
+        quiet: bool = False,
     ):
+        if not quiet:
+            warnings.warn(
+                "HashTokenizer is a SMOKE-TEST fallback: prompts are hashed to "
+                "pseudo-random token ids, so text conditioning is garbage. "
+                "Pass --tokenizer-dir (a local transformers tokenizer dir) for "
+                "real training/validation/demo runs.",
+                stacklevel=2,
+            )
         self.vocab_size = vocab_size
         self.max_length = max_length
         self.bos_id = vocab_size - 2 if bos_id is None else bos_id

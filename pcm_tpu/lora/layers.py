@@ -59,6 +59,27 @@ def _path(module: nn.Module) -> Tuple[str, ...]:
     return tuple(scope.path) if scope is not None else ()
 
 
+def _base_dot(x, kernel, dtype):
+    """Base-weight matmul; routes int8-stored kernels through the int8 MXU
+    path when `pcm_tpu.utils.quant.int8_matmul` is active at trace time."""
+    from ..utils.quant import QTensor, int8_matmul_enabled, quantized_dot
+
+    if isinstance(kernel, QTensor) and int8_matmul_enabled():
+        return quantized_dot(x, kernel, dtype)
+    return jnp.dot(x, kernel.astype(dtype))
+
+
+def _base_conv(x, kernel, dtype, strides, padding):
+    from ..utils.quant import QTensor, int8_matmul_enabled, quantized_conv
+
+    if isinstance(kernel, QTensor) and int8_matmul_enabled():
+        return quantized_conv(x, kernel, dtype, strides, padding)
+    return lax.conv_general_dilated(
+        x, kernel.astype(dtype), window_strides=tuple(strides), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class LoRADense(nn.Module):
     """Dense layer with optional LoRA overlay in the ``lora`` collection."""
 
@@ -80,7 +101,7 @@ class LoRADense(nn.Module):
         )
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
-        y = jnp.dot(x, kernel.astype(dtype))
+        y = _base_dot(x, kernel, dtype)
         if self.lora.matches(_path(self)):
             r = self.lora.rank
             a = self.variable(
@@ -141,7 +162,7 @@ class LoRAConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
-        y = conv(x, kernel, self.strides)
+        y = _base_conv(x, kernel, dtype, self.strides, self.padding)
         if self.lora.matches(_path(self)):
             r = self.lora.rank
             a = self.variable(

@@ -25,11 +25,16 @@ bf16/fp32 (see ``default_predicate``).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
+import os
 from typing import Callable, Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @flax.struct.dataclass
@@ -120,6 +125,128 @@ def quantize_frozen(frozen: dict, skip: tuple = ("vae",), **kw) -> dict:
     return {
         k: (v if k in skip else quantize_tree(v, **kw)) for k, v in frozen.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# int8 MXU compute path (activation quantization -> int8 x int8 -> int32 dot)
+# ---------------------------------------------------------------------------
+#
+# Weight-only storage already halves HBM traffic; this goes further and runs
+# the matmul itself on the MXU's int8 path (2x the bf16 MACs/cycle on v5e).
+# Activations are dynamically quantized — per-row (last-axis amax) for dense,
+# per-sample for conv (a 3x3 window mixes neighboring pixels, so per-pixel
+# scales would be incorrect) — multiplied back by (act_scale * per-channel
+# weight scale) in fp32. Backward is the exact bf16 dequantized linear op
+# (straight-through through the activation rounding); frozen weights get no
+# gradient. Enable via `int8_matmul()` context or PCM_INT8_MATMUL=1.
+
+_INT8_MATMUL = contextvars.ContextVar("pcm_int8_matmul", default=None)
+
+
+@contextlib.contextmanager
+def int8_matmul(enable: bool = True):
+    """Trace-scoped switch: QTensor-weighted LoRADense/LoRAConv layers compute
+    through the int8 MXU path within this context."""
+    tok = _INT8_MATMUL.set(bool(enable))
+    try:
+        yield
+    finally:
+        _INT8_MATMUL.reset(tok)
+
+
+def int8_matmul_enabled() -> bool:
+    v = _INT8_MATMUL.get()
+    if v is None:
+        v = os.environ.get("PCM_INT8_MATMUL", "0") == "1"
+    return v
+
+
+def _quantize_act(x32: jnp.ndarray, axes) -> tuple:
+    amax = jnp.max(jnp.abs(x32), axis=axes, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _qdot(x, values, scale, dtype):
+    x32 = x.astype(jnp.float32)
+    xq, s = _quantize_act(x32, (x.ndim - 1,))
+    y = jax.lax.dot_general(
+        xq, values,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # scale is (1, O) -> broadcasts against (..., O); s is (..., 1)
+    return (y.astype(jnp.float32) * s * scale.reshape(-1)).astype(dtype)
+
+
+def _qdot_fwd(x, values, scale, dtype):
+    return _qdot(x, values, scale, dtype), (values, scale)
+
+
+def _qdot_bwd(dtype, res, g):
+    values, scale = res
+    w = (values.astype(jnp.float32) * scale).astype(dtype)  # (I, O) dequant
+    dx = jax.lax.dot_general(
+        g.astype(dtype), w,
+        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
+    )
+    return (dx, np.zeros(values.shape, jax.dtypes.float0), jnp.zeros_like(scale))
+
+
+_qdot.defvjp(_qdot_fwd, _qdot_bwd)
+
+
+def quantized_dot(x: jnp.ndarray, qt: QTensor, dtype) -> jnp.ndarray:
+    """``x @ dequant(qt)`` computed as int8 x int8 -> int32 on the MXU."""
+    return _qdot(x, qt.values, qt.scale, jnp.dtype(dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _qconv(x, values, scale, dtype, strides, padding):
+    x32 = x.astype(jnp.float32)
+    xq, s = _quantize_act(x32, (1, 2, 3))  # per-sample (N,1,1,1)
+    y = jax.lax.conv_general_dilated(
+        xq, values,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * s * scale.reshape(-1)).astype(dtype)
+
+
+def _qconv_fwd(x, values, scale, dtype, strides, padding):
+    y = _qconv(x, values, scale, dtype, strides, padding)
+    return y, (values, scale, x.shape)
+
+
+def _qconv_bwd(dtype, strides, padding, res, g):
+    values, scale, x_shape = res
+    w = (values.astype(jnp.float32) * scale).astype(dtype)
+
+    def f(x_):
+        return jax.lax.conv_general_dilated(
+            x_, w, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    # conv is linear in x: its vjp is exact and value-independent
+    _, vjp = jax.vjp(f, jnp.zeros(x_shape, dtype))
+    (dx,) = vjp(g.astype(dtype))
+    return (dx, np.zeros(values.shape, jax.dtypes.float0), jnp.zeros_like(scale))
+
+
+_qconv.defvjp(_qconv_fwd, _qconv_bwd)
+
+
+def quantized_conv(x, qt: QTensor, dtype, strides=(1, 1), padding="SAME"):
+    """NHWC conv with int8 x int8 -> int32 MXU compute (per-sample activation
+    scale — correct for any spatial kernel size)."""
+    if isinstance(padding, (tuple, list)):
+        padding = tuple(tuple(p) for p in padding)
+    return _qconv(x, qt.values, qt.scale, jnp.dtype(dtype), tuple(strides), padding)
 
 
 def quantized_bytes_saved(tree) -> int:

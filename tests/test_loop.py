@@ -50,7 +50,7 @@ def test_dataset_and_loader(image_dir):
     s2 = ds.get(bad_idx)
     assert s2["pixel_values"].shape == (IMG, IMG, 3)
 
-    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    tok = HashTokenizer(vocab_size=1000, max_length=16, quiet=True)
     loader = DataLoader(ds, 4, make_collate({"input_ids": tok}, IMG), num_workers=2)
     it = iter(loader)
     b = next(it)
@@ -61,7 +61,7 @@ def test_dataset_and_loader(image_dir):
 
 def test_sdxl_collate_time_ids(image_dir):
     ds = ImageFolderDataset(image_dir, resolution=IMG, crop="random")
-    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    tok = HashTokenizer(vocab_size=1000, max_length=16, quiet=True)
     collate = make_collate({"input_ids": tok, "input_ids_2": tok}, IMG, sdxl=True)
     b = collate([ds.get(0), ds.get(1)])
     assert b["time_ids"].shape == (2, 6)
@@ -84,7 +84,7 @@ def test_trainer_checkpoint_resume_and_kohya_export(image_dir, tmp_path):
     step_fn = build_ddim_distill_step(bundle, make_ddpm_schedule(), cfg, tx)
 
     ds = ImageFolderDataset(image_dir, resolution=IMG)
-    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    tok = HashTokenizer(vocab_size=1000, max_length=16, quiet=True)
     loader = DataLoader(ds, 2, make_collate({"input_ids": tok}, IMG), num_workers=2)
 
     uncond = bundle.encode_prompts(frozen, jnp.asarray(tok(["", ""])))
@@ -175,7 +175,7 @@ def test_trainer_split_d_adv(image_dir, tmp_path):
     cfg = DistillConfig(num_solver_steps=10, multiphase=2)
     disc_cfg = DiscriminatorConfig(taps=("down_0", "down_1", "mid"), num_h_per_head=1)
     disc = Discriminator(disc_cfg)
-    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    tok = HashTokenizer(vocab_size=1000, max_length=16, quiet=True)
     cond = bundle.encode_prompts(frozen, jnp.asarray(tok([""])))
     d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), IMG // 8, cond)
 
