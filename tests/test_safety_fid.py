@@ -62,3 +62,32 @@ def test_clip_features_and_fid_smoke():
     # identical feature sets -> FID ~ 0; different sets -> strictly larger
     assert abs(fid_from_features(fa, fa)) < 1e-6
     assert fid_from_features(fa, fb) > 0
+
+
+def test_clip_score_math_and_smoke():
+    """clip_score_from_features: identical aligned features -> 100; orthogonal
+    -> 0 (negative cos clamped); end-to-end smoke with tiny random towers."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pcm_tpu.data.tokenizer import HashTokenizer
+    from pcm_tpu.models.clip import TINY_CLIP_CONFIG
+    from pcm_tpu.utils.clip_score import (
+        CLIPTextFeatures,
+        clip_score_from_features,
+    )
+
+    a = np.eye(4)
+    assert clip_score_from_features(a, a) == 100.0
+    b = np.roll(a, 1, axis=0)  # orthogonal rows
+    assert clip_score_from_features(a, b) == 0.0
+    mixed = clip_score_from_features(a, 0.5 * a + 0.5 * b)
+    assert 0.0 < mixed < 100.0
+
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_CLIP_CONFIG, projection_dim=16)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size, max_length=8, quiet=True)
+    tx = CLIPTextFeatures(tok, cfg=cfg, batch=2)
+    feats = tx(["a cat", "a dog", "a house"])
+    assert feats.shape == (3, 16) and np.isfinite(feats).all()
