@@ -94,3 +94,28 @@ def test_fsdp_sharded_qtensor_distill_step():
 
     new_state, metrics = jax.jit(step)(state_s, qfrozen_s, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fsdp_sharded_int8_matmul_distill_step():
+    """The int8-MXU compute path (activation quant + int8 dot, utils/quant.py
+    `int8_matmul`) composes with FSDP-sharded QTensor weights on the mesh and
+    matches the dequantized bf16 path's loss closely."""
+    from pcm_tpu.utils.quant import int8_matmul, quantize_frozen
+    from tests.test_distill_step import _sd15_batch, _sd15_setup
+
+    bundle, frozen, state, step = _sd15_setup()
+    qfrozen = quantize_frozen(frozen, min_size=1024)
+    mesh = make_mesh(data=4, fsdp=2)
+    qfrozen_s = shard_fsdp(qfrozen, mesh, min_size=1024)
+    state_s = replicate(state, mesh)
+    batch = shard_batch(_sd15_batch(8), mesh)
+    rng = jax.random.PRNGKey(0)
+
+    _, m_ref = jax.jit(step)(state_s, qfrozen_s, batch, rng)
+    with int8_matmul():
+        _, m_i8 = jax.jit(step).lower(state_s, qfrozen_s, batch, rng).compile()(
+            state_s, qfrozen_s, batch, rng
+        )
+    ref, i8 = float(m_ref["loss"]), float(m_i8["loss"])
+    assert np.isfinite(i8)
+    assert abs(i8 - ref) / max(abs(ref), 1e-8) < 0.05, (ref, i8)
