@@ -284,10 +284,12 @@ def main():
                     help="frozen-weight storage; int8 = weight-only quantized "
                          "kernels (per-channel scales), VAE stays bf16")
     ap.add_argument("--mode", default="train", choices=["train", "infer", "adv"])
-    ap.add_argument("--int8-matmul", action="store_true",
+    ap.add_argument("--int8-matmul", nargs="?", const="both", default=None,
+                    choices=["dense", "conv", "both"],
                     help="compute QTensor-weighted matmuls/convs on the int8 "
                          "MXU path (activation quantization; pair with "
-                         "--weights int8)")
+                         "--weights int8). Optional value restricts to dense "
+                         "or conv ops only")
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     ap.add_argument("--d-graph", default="mono", choices=["mono", "split"],
                     help="adv mode: compile the D step monolithically or as "
@@ -314,7 +316,7 @@ def main():
 
     from pcm_tpu.utils.quant import int8_matmul
 
-    ctx = int8_matmul() if args.int8_matmul else contextlib.nullcontext()
+    ctx = int8_matmul(which=args.int8_matmul) if args.int8_matmul else contextlib.nullcontext()
     with ctx:  # int8-MXU dispatch is decided at trace time
         lowered = jstep.lower(state, frozen, batch, rng)
     compiled = lowered.compile()

@@ -64,7 +64,7 @@ def _base_dot(x, kernel, dtype):
     path when `pcm_tpu.utils.quant.int8_matmul` is active at trace time."""
     from ..utils.quant import QTensor, int8_matmul_enabled, quantized_dot
 
-    if isinstance(kernel, QTensor) and int8_matmul_enabled():
+    if isinstance(kernel, QTensor) and int8_matmul_enabled("dense"):
         return quantized_dot(x, kernel, dtype)
     return jnp.dot(x, kernel.astype(dtype))
 
@@ -72,7 +72,7 @@ def _base_dot(x, kernel, dtype):
 def _base_conv(x, kernel, dtype, strides, padding):
     from ..utils.quant import QTensor, int8_matmul_enabled, quantized_conv
 
-    if isinstance(kernel, QTensor) and int8_matmul_enabled():
+    if isinstance(kernel, QTensor) and int8_matmul_enabled("conv"):
         return quantized_conv(x, kernel, dtype, strides, padding)
     return lax.conv_general_dilated(
         x, kernel.astype(dtype), window_strides=tuple(strides), padding=padding,

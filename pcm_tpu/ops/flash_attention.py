@@ -8,8 +8,13 @@ backward split into a dK/dV kernel and a dQ kernel.
 Public API takes the projection layout ``(batch, seq, heads, head_dim)``;
 internally tensors are transposed to ``(batch, heads, seq, head_dim)`` so the
 last two block dims are the hardware-tiled (sublane, lane) pair. Row statistics
-(logsumexp, delta) live in ``(batch, heads, seq, 1)`` arrays — the trailing
-singleton keeps the block legal and broadcasts for free inside the kernels.
+(logsumexp, delta) use ``(batch, heads, seq, 1)`` arrays inside the kernels —
+the trailing singleton keeps the block legal and broadcasts for free — but are
+stored BETWEEN forward and backward as compact 3-D ``(batch, heads, seq)``
+arrays: a trailing-singleton f32 array in HBM is lane-padded 128x by XLA
+(measured: 480 KB of lse held as a 60 MB buffer per MMDiT block at 1024px,
+OOMing the SD3 adversarial step), so the padded view exists only transiently
+inside the fwd/bwd pallas calls.
 
 No masking modes beyond padding are implemented: the diffusion UNet/MMDiT and
 CLIP/T5 encoders in this framework use full bidirectional attention.
@@ -93,7 +98,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
 
 
 def _fwd(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
-    """q/k/v in (b, h, s, d) layout; returns o (b,h,sq,d), lse (b,h,sq,1)."""
+    """q/k/v in (b, h, s, d) layout; returns o (b,h,sq,d), lse (b,h,sq)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     dp = round_up(d, 128)
@@ -132,7 +137,10 @@ def _fwd(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    return o[:, :, :sq, :d], lse[:, :, :sq]
+    # slice lane 0 -> compact (b, h, sq): the (b, h, sq_p, 1) pallas output is
+    # lane-padded 128x in HBM; keeping it as the residual (or letting remat
+    # copy it) wastes ~60 MB per attention call at seq 5120
+    return o[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +231,7 @@ def _bwd_dq_kernel(
 
 
 def _bwd(sm_scale, interpret, block_q, block_k, res, g):
-    q, k, v, o, lse = res  # all (b, h, s, d); lse (b, h, sq, 1)
+    q, k, v, o, lse = res  # q/k/v/o (b, h, s, d); lse compact (b, h, sq)
     b, h, sq, d = q.shape
     sk = k.shape[2]
     dp = round_up(d, 128)
@@ -232,17 +240,20 @@ def _bwd(sm_scale, interpret, block_q, block_k, res, g):
 
     g = g.astype(q.dtype)
     delta = jnp.sum(
-        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
-    )  # (b, h, sq, 1)
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (b, h, sq)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, dp - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
     dop = jnp.pad(g, ((0, 0), (0, 0), (0, sq_p - sq), (0, dp - d)))
     # +inf pad drives p -> exp(-inf) = 0 for padded q rows (rows are also
-    # masked explicitly in the dkv kernel).
-    lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)), constant_values=np.inf)
-    deltap = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    # masked explicitly in the dkv kernel). The trailing singleton (and its
+    # 128x lane padding) is materialized only here, transiently, as the
+    # kernels' (1, 1, bq, 1)-blocked inputs.
+    lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)),
+                   constant_values=np.inf)[..., None]
+    deltap = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))[..., None]
 
     def q_spec(seq_block, last):
         return pl.BlockSpec((1, 1, seq_block, last), lambda b_, h_, i, j: (b_, h_, i, 0))

@@ -144,21 +144,30 @@ _INT8_MATMUL = contextvars.ContextVar("pcm_int8_matmul", default=None)
 
 
 @contextlib.contextmanager
-def int8_matmul(enable: bool = True):
+def int8_matmul(enable: bool = True, which: str = "both"):
     """Trace-scoped switch: QTensor-weighted LoRADense/LoRAConv layers compute
-    through the int8 MXU path within this context."""
-    tok = _INT8_MATMUL.set(bool(enable))
+    through the int8 MXU path within this context.
+
+    ``which`` narrows the op class: "dense", "conv", or "both" — the
+    per-class split exists to bisect/deploy the paths independently (XLA's
+    int8 dense and conv lowerings perform very differently on some
+    backends)."""
+    if which not in ("dense", "conv", "both"):
+        raise ValueError(which)
+    tok = _INT8_MATMUL.set(which if enable else False)
     try:
         yield
     finally:
         _INT8_MATMUL.reset(tok)
 
 
-def int8_matmul_enabled() -> bool:
+def int8_matmul_enabled(kind: str = "dense") -> bool:
+    """Is the int8 MXU path active for op class ``kind`` ("dense"/"conv")?"""
     v = _INT8_MATMUL.get()
     if v is None:
-        v = os.environ.get("PCM_INT8_MATMUL", "0") == "1"
-    return v
+        env = os.environ.get("PCM_INT8_MATMUL", "0")
+        v = {"1": "both", "0": False}.get(env, env if env in ("dense", "conv", "both") else False)
+    return v in ("both", kind)
 
 
 def _quantize_act(x32: jnp.ndarray, axes) -> tuple:
