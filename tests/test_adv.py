@@ -3,6 +3,7 @@
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +29,7 @@ from pcm_tpu.train.state import TrainState, make_optimizer
 IMG = 32
 
 
+@pytest.mark.slow
 def test_sd15_adv_steps():
     text_cfg = CLIPTextConfig(
         vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
@@ -81,6 +83,7 @@ def test_sd15_adv_steps():
     assert max(moved) > 0
 
 
+@pytest.mark.slow
 def test_sd3_adv_steps():
     clip_sd3 = CLIPTextConfig(
         vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
@@ -127,6 +130,7 @@ def test_sd3_adv_steps():
         assert np.isfinite(float(gm[k])), k
 
 
+@pytest.mark.slow
 def test_sdxl_adv_steps_stop_after_mid():
     """SDXL adversarial: down+mid-only discriminator taps trigger the UNet's
     stop_after_mid early-exit feature mode (`discriminator_sdxl.py:311`
@@ -190,6 +194,7 @@ def test_sdxl_adv_steps_stop_after_mid():
     assert max(moved) > 0
 
 
+@pytest.mark.slow
 def test_disc_init_from_eval_shape_matches_real_forward():
     """bench.py --mode adv initializes discriminator heads from an
     eval_shape feature pass (no real teacher forward); param tree must match
@@ -223,6 +228,7 @@ def test_disc_init_from_eval_shape_matches_real_forward():
         assert a.shape == b.shape and a.dtype == b.dtype
 
 
+@pytest.mark.slow
 def test_split_d_matches_monolithic_d_step():
     """build_ddim_adv_d_split (two small graphs) must produce bit-identical
     D updates to build_ddim_adv_steps' monolithic d_step for the same rng."""

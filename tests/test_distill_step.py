@@ -55,6 +55,7 @@ def _sd15_batch(bsz=4):
     }
 
 
+@pytest.mark.slow
 def test_sd15_distill_step_runs_and_updates():
     bundle, frozen, state, step = _sd15_setup()
     batch = _sd15_batch()
@@ -78,6 +79,7 @@ def test_sd15_distill_step_runs_and_updates():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_sd15_distill_step_data_parallel():
     bundle, frozen, state, step = _sd15_setup()
     mesh = make_mesh(data=8, fsdp=1)
@@ -91,6 +93,7 @@ def test_sd15_distill_step_data_parallel():
     assert state2.params is not None
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_manual_average():
     """accumulate_grads == mean over manually-run microbatches (same rngs)."""
     from pcm_tpu.train.distill import accumulate_grads
@@ -132,6 +135,7 @@ def test_grad_accumulation_matches_manual_average():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_grad_accum_step_runs_data_parallel():
     """Full accumulating step over the 8-device mesh (accum=2, global batch 16)."""
     bundle, frozen, state, _ = _sd15_setup()
@@ -147,6 +151,7 @@ def test_grad_accum_step_runs_data_parallel():
     assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_cached_latents_dataset_and_step(tmp_path):
     """CachedLatentsDataset round-trip + a distill step fed by cached batches
     (the bundle's encode must skip VAE/text when latents/prompt_embeds are
@@ -190,6 +195,7 @@ def test_cached_latents_dataset_and_step(tmp_path):
     assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_sd3_flow_distill_step():
     # 2x CLIP hidden (12+12=24) pads to joint dim 32; pooled 16+16=32; T5 d_model = 32
     clip_sd3 = CLIPTextConfig(
@@ -233,6 +239,7 @@ def test_sd3_flow_distill_step():
     assert max(moved) > 0
 
 
+@pytest.mark.slow
 def test_sdxl_distill_step_runs_and_updates():
     """SDXL path: dual text encoders, pooled te2 + time_ids micro-conditioning
     (`train_pcm_lora_sdxl_adv.py:1093-1131`) through the fused step."""

@@ -69,6 +69,7 @@ def test_sdxl_collate_time_ids(image_dir):
     assert (b["time_ids"][:, 4:] == IMG).all()
 
 
+@pytest.mark.slow
 def test_trainer_checkpoint_resume_and_kohya_export(image_dir, tmp_path):
     text_cfg = CLIPTextConfig(
         vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
@@ -149,6 +150,7 @@ def test_kohya_roundtrip():
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_split_d_adv(image_dir, tmp_path):
     """Trainer accepts (g_step, feats_fn, update_fn) — split-D adversarial
     mode — and alternates G/D exactly like the monolithic pair."""

@@ -3,6 +3,7 @@ through every layer kind, quantization accuracy, and a full tiny distill step
 running off a quantized frozen tree."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,7 @@ def test_quantize_frozen_skips_vae():
     assert not isinstance(q["vae"]["kernel"], QTensor)
 
 
+@pytest.mark.slow
 def test_distill_step_runs_with_int8_frozen():
     from tests.test_distill_step import _sd15_batch, _sd15_setup
 

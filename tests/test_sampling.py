@@ -99,6 +99,7 @@ def test_pcm_fm_step_det_vs_stoch():
     np.testing.assert_allclose(np.asarray(out_last), denoised, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_tiny():
     from pcm_tpu.lora.layers import LoRASpec
     from pcm_tpu.models.clip import CLIPTextConfig
@@ -142,6 +143,7 @@ def test_pipeline_end_to_end_tiny():
     np.testing.assert_allclose(np.asarray(img3), np.asarray(img2), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_data_parallel_mesh():
     """Sharded batch generation over the 8-virtual-device mesh (the
     'multi-host sampling eval' path, BASELINE config #5): per-device results

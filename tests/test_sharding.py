@@ -1,6 +1,7 @@
 """Sharding-layer tests on the 8-virtual-device CPU mesh."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,6 +66,7 @@ def test_fsdp_matmul_correctness():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_qtensor_distill_step():
     """int8 frozen weights (utils/quant.py QTensor) compose with FSDP
     sharding: values shard over 'fsdp', scales replicate, and the tiny SD1.5
@@ -96,6 +98,7 @@ def test_fsdp_sharded_qtensor_distill_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_int8_matmul_distill_step():
     """The int8-MXU compute path (activation quant + int8 dot, utils/quant.py
     `int8_matmul`) composes with FSDP-sharded QTensor weights on the mesh and
