@@ -74,6 +74,29 @@ def test_quantized_conv_forward_and_grad(strides, padding):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-5)
 
 
+def test_int8_matmul_which_scopes_op_class(monkeypatch):
+    """`which=` narrows the int8 path to dense or conv ops only (the bisect /
+    per-class deploy knob); env fallback accepts the same values."""
+    from pcm_tpu.utils.quant import int8_matmul_enabled
+
+    monkeypatch.delenv("PCM_INT8_MATMUL", raising=False)
+    assert not int8_matmul_enabled("dense") and not int8_matmul_enabled("conv")
+    with int8_matmul(which="dense"):
+        assert int8_matmul_enabled("dense") and not int8_matmul_enabled("conv")
+    with int8_matmul(which="conv"):
+        assert int8_matmul_enabled("conv") and not int8_matmul_enabled("dense")
+    with int8_matmul(which="both"):
+        assert int8_matmul_enabled("dense") and int8_matmul_enabled("conv")
+    with int8_matmul(enable=False):
+        monkeypatch.setenv("PCM_INT8_MATMUL", "conv")  # context beats env
+        assert not int8_matmul_enabled("conv")
+    monkeypatch.setenv("PCM_INT8_MATMUL", "dense")
+    assert int8_matmul_enabled("dense") and not int8_matmul_enabled("conv")
+    with pytest.raises(ValueError):
+        with int8_matmul(which="bogus"):
+            pass
+
+
 def test_lora_dense_int8_context():
     """LoRADense with a QTensor base kernel: int8 context changes the compute
     path, not the math (within rounding); LoRA grads still flow."""
