@@ -107,7 +107,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
               "(OOM on 15.75G v5e) — use --weights int8 or --remat dots_small",
               file=sys.stderr)
     use_remat = remat != "none"
-    policy = remat if remat in ("dots", "dots_small") else None
+    policy = remat if remat.startswith("dots") else None
     levels = (True, True, False) if remat == "hybrid" else None
     if family == "sdxl":
         bundle = sdxl_bundle(
@@ -263,6 +263,14 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
     return frozen, lora, cond, run
 
 
+def _remat_arg(v: str) -> str:
+    import re
+
+    if v in ("hybrid", "none", "dots", "dots_small", "full") or re.fullmatch(r"dots\d+m", v):
+        return v
+    raise argparse.ArgumentTypeError(f"bad remat policy {v!r}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     # headline config (BASELINE.json metric). NOTE: cold-cache compile of the
@@ -277,8 +285,10 @@ def main():
     # checkpointing — fastest measured 1024px config (802.5 ms vs 892.6 ms for
     # bf16+dots_small; the int8 storage frees 3.05 GiB, which is what lets
     # remat=none fit in 15.75 G). bf16 remains available via --weights.
-    ap.add_argument("--remat", default="none",
-                choices=["hybrid", "none", "dots", "dots_small", "full"])
+    ap.add_argument("--remat", default="none", type=_remat_arg,
+                    help="none | full | hybrid | dots | dots_small | dots<N>m "
+                         "(save dot outputs <= N MiB; tighter cap for larger "
+                         "batches)")
     ap.add_argument("--adam", default="8bit", choices=["8bit", "fp32"])
     ap.add_argument("--weights", default="int8", choices=["bf16", "int8"],
                     help="frozen-weight storage; int8 = weight-only quantized "

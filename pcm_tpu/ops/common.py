@@ -6,6 +6,7 @@ import contextlib
 import contextvars
 import functools
 import os
+import re
 
 import jax
 
@@ -96,6 +97,12 @@ def resolve_remat_policy(name):
         "dots_small": _dots_below(16 * 2**20),
         "nothing": jax.checkpoint_policies.nothing_saveable,
     }
+    if name not in policies:
+        # parametrized cap: "dots<N>m" saves dot outputs <= N MiB (the knob
+        # that scales dots_small down when batch size scales residuals up)
+        m = re.fullmatch(r"dots(\d+)m", name)
+        if m:
+            return _dots_below(int(m.group(1)) * 2**20)
     return policies[name]
 
 

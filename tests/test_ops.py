@@ -136,3 +136,30 @@ def test_groupnorm_size_dispatch():
     assert not _force_pallas_for_size((4, 77, 2048))
     assert _force_pallas_for_size((1, 1024, 1024, 256))  # VAE decode: 1 GiB f32
     assert _force_pallas_for_size((4, 512, 512, 512))
+
+
+def test_resolve_remat_policy_parametrized_cap():
+    """"dots<N>m" parses to a save-dots-below-N-MiB policy; a dot output at
+    exactly the cap is saved, one above is recomputed."""
+    import jax.core
+    from jax import lax
+
+    from pcm_tpu.ops.common import resolve_remat_policy
+
+    pol = resolve_remat_policy("dots8m")
+    dn = (((1,), (0,)), ((), ()))
+
+    def decide(m, k, n):
+        avals = (
+            jax.core.ShapedArray((m, k), jnp.bfloat16),
+            jax.core.ShapedArray((k, n), jnp.bfloat16),
+        )
+        return pol(lax.dot_general_p, *avals, dimension_numbers=dn,
+                   precision=None, preferred_element_type=jnp.bfloat16,
+                   out_sharding=None)
+
+    assert decide(2048, 64, 2048)  # 8 MiB bf16 output: saved
+    assert not decide(4096, 64, 2048)  # 16 MiB: recomputed
+    assert resolve_remat_policy(None) is None
+    with pytest.raises(KeyError):
+        resolve_remat_policy("dots_bogus")
