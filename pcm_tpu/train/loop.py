@@ -36,6 +36,11 @@ class LoopConfig:
     resume: bool = True
     kohya_prefix: str = "lora_unet"
     lora_alpha: float = 8.0
+    # failure detection (SURVEY.md §5 — the reference has none): abort with a
+    # clear error when the loss goes NaN/inf. Checked at log_every boundaries
+    # only — a per-step readback would fence the device every step (~60 ms on
+    # the remote backend) and serialize dispatch.
+    abort_on_nonfinite: bool = True
 
 
 class Trainer:
@@ -153,6 +158,18 @@ class Trainer:
                 metrics["steps_per_sec"] = cfg.log_every / (now - t_last)
                 t_last = now
                 self.logger.log(self.global_step, metrics)
+                if cfg.abort_on_nonfinite:
+                    bad = {
+                        k: float(v) for k, v in metrics.items()
+                        if k in ("loss", "d_loss", "g_loss")
+                        and not np.isfinite(float(v))
+                    }
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite loss at step {self.global_step}: {bad} "
+                            f"(last checkpoint: step "
+                            f"{self.global_step - self.global_step % cfg.checkpointing_steps})"
+                        )
 
             if self.global_step % cfg.checkpointing_steps == 0:
                 self._save()

@@ -125,6 +125,43 @@ def test_trainer_checkpoint_resume_and_kohya_export(image_dir, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
 
 
+def _dummy_lora():
+    return {"blk": {"to_q": {"a": jnp.zeros((8, 2)), "b": jnp.zeros((2, 8))}}}
+
+
+def test_trainer_nonfinite_loss_guard(tmp_path):
+    """abort_on_nonfinite fails fast (at a log boundary) instead of training
+    on into garbage — failure-detection the reference lacks (SURVEY §5)."""
+    import itertools
+
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(_dummy_lora(), tx)
+
+    def step_fn(state, frozen, batch, rng):
+        return state.replace(step=state.step + 1), {"loss": jnp.float32(np.nan)}
+
+    loop_cfg = LoopConfig(
+        output_dir=str(tmp_path / "nan_run"), max_train_steps=10,
+        checkpointing_steps=1000, validation_steps=1000, log_every=2,
+    )
+    trainer = Trainer(loop_cfg, {}, state, step_fn=step_fn)
+    with pytest.raises(FloatingPointError, match="non-finite loss at step 2"):
+        trainer.run(itertools.repeat({"x": np.zeros((1,), np.float32)}))
+    trainer.ckpt.close()
+
+    # the guard is opt-out for debugging runs
+    loop_cfg2 = LoopConfig(
+        output_dir=str(tmp_path / "nan_run2"), max_train_steps=4,
+        checkpointing_steps=1000, validation_steps=1000, log_every=2,
+        abort_on_nonfinite=False,
+    )
+    trainer2 = Trainer(loop_cfg2, {}, TrainState.create(_dummy_lora(), tx),
+                       step_fn=step_fn)
+    g_state, _ = trainer2.run(itertools.repeat({"x": np.zeros((1,), np.float32)}))
+    assert int(g_state.step) == 4
+    trainer2.ckpt.close()
+
+
 def test_kohya_roundtrip():
     from pcm_tpu.lora.kohya import from_kohya_state_dict, to_kohya_state_dict
 
