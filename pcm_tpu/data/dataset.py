@@ -164,6 +164,37 @@ class DataLoader:
             stop.set()
 
 
+def prefetch_to_device(iterator: Iterator[Dict], size: int = 2,
+                       device=None, sharding=None) -> Iterator[Dict]:
+    """Overlap host batch assembly + H2D transfer with device compute.
+
+    Keeps ``size`` batches in flight: each is pushed with ``jax.device_put``
+    (async on TPU backends) before the consumer needs it, so the train step
+    never waits on the host. The reference gets this from torch DataLoader
+    pinned-memory workers + CUDA async copies; this is the JAX equivalent.
+    ``sharding`` (e.g. a NamedSharding over the data mesh) takes precedence
+    over ``device``.
+    """
+    import collections
+
+    import jax
+
+    put_target = sharding if sharding is not None else device
+    buf: "collections.deque" = collections.deque()
+
+    def put(batch):
+        if put_target is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, put_target)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > max(size, 1):
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def make_collate(tokenizers: Dict[str, Callable], resolution: int, sdxl: bool = False):
     """Build the batch-assembly fn: stack pixels, tokenize captions per tower,
     and (SDXL) build time_ids [orig_h, orig_w, c_top, c_left, res, res]."""

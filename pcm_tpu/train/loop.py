@@ -122,17 +122,33 @@ class Trainer:
             )
 
     # -- loop -------------------------------------------------------------
-    def run(self, data_iter: Iterator[Dict], extra_batch_fn: Optional[Callable] = None):
+    def run(self, data_iter: Iterator[Dict], extra_batch_fn: Optional[Callable] = None,
+            prefetch: int = 2):
+        """``prefetch`` batches are prepped (asarray + extra_batch_fn +
+        sharding) ahead of the step that consumes them, overlapping host
+        assembly and the async H2D transfer with device compute — the JAX
+        equivalent of the reference's pinned-memory dataloader workers."""
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
         t_last = time.time()
+
+        def prepped():
+            for b in data_iter:
+                b = {k: jnp.asarray(v) for k, v in b.items()}
+                if extra_batch_fn is not None:
+                    b = extra_batch_fn(b)
+                if self.mesh is not None:
+                    b = shard_batch(b, self.mesh)
+                yield b
+
+        from collections import deque
+
+        batches = prepped()
+        lookahead: deque = deque()
         while self.global_step < cfg.max_train_steps:
-            batch = next(data_iter)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if extra_batch_fn is not None:
-                batch = extra_batch_fn(batch)
-            if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+            while len(lookahead) <= max(prefetch, 0):
+                lookahead.append(next(batches))
+            batch = lookahead.popleft()
 
             if self.adversarial and self.global_step % 2 == 0:
                 # even parity trains D (ref `train_pcm_lora_sd15_adv.py:1374`)
