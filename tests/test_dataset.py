@@ -126,3 +126,11 @@ def test_cached_latents_roundtrip(tmp_path):
     batch = cached_collate([ds.get(i) for i in (0, 3)])
     assert batch["latents"].shape == (2, 4, 4, 4)
     assert batch["prompt_embeds"].shape == (2, 5, 8)
+
+
+def test_prefetch_to_device_order_and_exhaustion():
+    from pcm_tpu.data.dataset import prefetch_to_device
+
+    src = ({"i": np.full((2,), i, np.float32)} for i in range(7))
+    out = list(prefetch_to_device(src, size=3))
+    assert [int(b["i"][0]) for b in out] == list(range(7))
