@@ -112,6 +112,24 @@ class AdvConfig:
 # ---------------------------------------------------------------------------
 
 
+def _pair_features(bundle, frozen, fake, real, adv_t, cond, **kw):
+    """One 2B frozen-teacher feature forward over [fake; real] instead of two
+    B forwards. Per-sample ops only (GroupNorm/attention/conv are batch-wise
+    independent), so the features are identical to two separate passes — but
+    the MXU sees twice the batch (the reference's dual `modified_forward`
+    calls, `discriminator_sdxl.py:428-449`, are dispatch-bound at B=1) and the
+    traced graph carries ONE teacher forward instead of two (half the jaxpr —
+    relieves the axon remote-compiler size pressure on monolithic D graphs)."""
+    bsz = fake.shape[0]
+    both = jnp.concatenate([fake, real], axis=0)
+    t_both = jnp.concatenate([adv_t, adv_t], axis=0)
+    cond_both = jax.tree.map(lambda a: jnp.concatenate([a, a], axis=0), cond)
+    feats = bundle.teacher_features(frozen, both, t_both, cond_both, **kw)
+    fake_feats = jax.tree.map(lambda f: f[:bsz], feats)
+    real_feats = jax.tree.map(lambda f: f[bsz:], feats)
+    return fake_feats, real_feats
+
+
 def build_ddim_adv_steps(
     bundle,
     schedule: DDPMSchedule,
@@ -184,11 +202,9 @@ def build_ddim_adv_steps(
             eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
             fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
             real = schedule.noise_travel(parts["target"], eps_real, parts["end_t"], adv_t)
-            fake_feats = bundle.teacher_features(
-                frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
-            )
-            real_feats = bundle.teacher_features(
-                frozen, real, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+            fake_feats, real_feats = _pair_features(
+                bundle, frozen, fake, real, adv_t, parts["cond"],
+                stop_after_mid=stop_after_mid,
             )
 
             def loss_fn(dp):
@@ -253,13 +269,10 @@ def build_ddim_adv_d_split(
         eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
         fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
         real = schedule.noise_travel(parts["target"], eps_real, parts["end_t"], adv_t)
-        fake_feats = bundle.teacher_features(
-            frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+        return _pair_features(
+            bundle, frozen, fake, real, adv_t, parts["cond"],
+            stop_after_mid=stop_after_mid,
         )
-        real_feats = bundle.teacher_features(
-            frozen, real, adv_t, parts["cond"], stop_after_mid=stop_after_mid
-        )
-        return fake_feats, real_feats
 
     def update_fn(d_state: TrainState, fake_feats, real_feats):
         def loss_fn(dp):
@@ -313,9 +326,7 @@ def build_flow_adv_d_split(
         eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
         fake = _flow_renoise(model_pred, eps_fake, sig_end, sig_adv)
         real = _flow_renoise(parts["target"], eps_real, sig_end, sig_adv)
-        fake_feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
-        real_feats = bundle.teacher_features(frozen, real, t_adv, parts["cond"])
-        return fake_feats, real_feats
+        return _pair_features(bundle, frozen, fake, real, t_adv, parts["cond"])
 
     def update_fn(d_state: TrainState, fake_feats, real_feats):
         def loss_fn(dp):
@@ -393,8 +404,9 @@ def build_flow_adv_steps(
             eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
             fake = _renoise(model_pred, eps_fake, sig_end, sig_adv)
             real = _renoise(parts["target"], eps_real, sig_end, sig_adv)
-            fake_feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
-            real_feats = bundle.teacher_features(frozen, real, t_adv, parts["cond"])
+            fake_feats, real_feats = _pair_features(
+                bundle, frozen, fake, real, t_adv, parts["cond"]
+            )
 
             def loss_fn(dp):
                 fl = disc.apply({"params": dp}, fake_feats)

@@ -280,6 +280,38 @@ def test_split_d_matches_monolithic_d_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+def test_pair_features_matches_two_passes():
+    """_pair_features (one 2B frozen-teacher forward over [fake; real]) must
+    return the same features as two separate B forwards — per-sample ops only."""
+    from pcm_tpu.train.adv import _pair_features
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, _ = bundle.init(jax.random.PRNGKey(0), IMG)
+    cond = bundle.encode_prompts(
+        frozen, jnp.asarray(np.random.RandomState(0).randint(1, 999, size=(2, 16)))
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    fake = jax.random.normal(k1, (2, 16, 16, 4), jnp.float32)
+    real = jax.random.normal(k2, (2, 16, 16, 4), jnp.float32)
+    adv_t = jnp.asarray([100.0, 700.0])
+
+    ff, rf = _pair_features(bundle, frozen, fake, real, adv_t, cond)
+    ff_ref = bundle.teacher_features(frozen, fake, adv_t, cond)
+    rf_ref = bundle.teacher_features(frozen, real, adv_t, cond)
+    for k in ff_ref:
+        np.testing.assert_allclose(
+            np.asarray(ff[k]), np.asarray(ff_ref[k]), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rf[k]), np.asarray(rf_ref[k]), rtol=1e-5, atol=1e-5)
+
+
 def test_flow_split_d_matches_monolithic_d_step():
     """build_flow_adv_d_split must produce bit-identical D updates to
     build_flow_adv_steps' monolithic d_step for the same rng (SD3 family)."""
