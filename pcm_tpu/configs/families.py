@@ -10,26 +10,48 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..lora.layers import LoRASpec
-from ..models.clip import CLIP_BIG_G_CONFIG, CLIP_L_CONFIG
+from ..models.clip import CLIP_BIG_G_CONFIG, CLIP_L_CONFIG, CLIPTextConfig
 from ..models.mmdit import (
     SD3_ADV_LORA_TARGETS,
     SD3_ADV_STOCHASTIC_LORA_TARGETS,
     SD3_LORA_TARGETS,
     SD3_MEDIUM_CONFIG,
+    TINY_MMDIT_CONFIG,
 )
-from ..models.t5 import T5_XXL_CONFIG
-from ..models.unet import SD15_CONFIG, SDXL_CONFIG
-from ..models.vae import SD3_VAE_CONFIG, SD15_VAE_CONFIG, SDXL_VAE_CONFIG
+from ..models.t5 import T5_XXL_CONFIG, T5Config
+from ..models.unet import SD15_CONFIG, SDXL_CONFIG, TINY_SDXL_CONFIG, TINY_UNET_CONFIG
+from ..models.vae import SD3_VAE_CONFIG, SD15_VAE_CONFIG, SDXL_VAE_CONFIG, TINY_VAE_CONFIG
 from ..train.bundles import SD3Bundle, SD15Bundle, SDXLBundle, SD_UNET_LORA_TARGETS
 from ..train.distill import DistillConfig
 
+# Tiny text-encoder configs for `tiny=True` bundles (CLI smoke mode): real
+# tokenizer-width vocab so HashTokenizer/CLIP token ids are always in range,
+# hidden sizes matched to the TINY_* backbone conditioning dims.
+_TINY_CLIP_SD15 = CLIPTextConfig(
+    hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64
+)
+_TINY_CLIP_XL1 = CLIPTextConfig(
+    hidden_size=16, num_layers=2, num_heads=2, intermediate_size=32
+)
+_TINY_CLIP_XL2 = CLIPTextConfig(
+    hidden_size=16, num_layers=2, num_heads=2, intermediate_size=32,
+    hidden_act="gelu", projection_dim=32,
+)
+_TINY_CLIP_SD3 = CLIPTextConfig(
+    hidden_size=16, num_layers=2, num_heads=2, intermediate_size=32,
+    projection_dim=16,
+)
+_TINY_T5 = T5Config(
+    vocab_size=49408, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4
+)
+
 
 def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
-                remat_policy=None, remat_levels=None) -> SD15Bundle:
+                remat_policy=None, remat_levels=None, tiny: bool = False) -> SD15Bundle:
     return SD15Bundle(
-        unet_cfg=SD15_CONFIG,
-        vae_cfg=SD15_VAE_CONFIG,
-        text_cfg=CLIP_L_CONFIG,
+        unet_cfg=TINY_UNET_CONFIG if tiny else SD15_CONFIG,
+        vae_cfg=TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG,
+        text_cfg=_TINY_CLIP_SD15 if tiny else CLIP_L_CONFIG,
         lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=SD_UNET_LORA_TARGETS),
         dtype=dtype,
         remat=remat,
@@ -39,12 +61,12 @@ def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
 
 
 def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
-                remat_policy=None, remat_levels=None) -> SDXLBundle:
+                remat_policy=None, remat_levels=None, tiny: bool = False) -> SDXLBundle:
     return SDXLBundle(
-        unet_cfg=SDXL_CONFIG,
-        vae_cfg=SDXL_VAE_CONFIG,
-        text_cfg=CLIP_L_CONFIG,
-        text2_cfg=CLIP_BIG_G_CONFIG,
+        unet_cfg=TINY_SDXL_CONFIG if tiny else SDXL_CONFIG,
+        vae_cfg=TINY_VAE_CONFIG if tiny else SDXL_VAE_CONFIG,
+        text_cfg=_TINY_CLIP_XL1 if tiny else CLIP_L_CONFIG,
+        text2_cfg=_TINY_CLIP_XL2 if tiny else CLIP_BIG_G_CONFIG,
         lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=SD_UNET_LORA_TARGETS),
         dtype=dtype,
         remat=remat,
@@ -55,7 +77,7 @@ def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
 
 def sd3_bundle(
     lora_rank: int = 32, dtype=jnp.bfloat16, remat: bool = True, adv_targets: bool = False,
-    remat_policy=None, stochastic: bool = False,
+    remat_policy=None, stochastic: bool = False, tiny: bool = False,
 ) -> SD3Bundle:
     """``adv_targets`` extends LoRA to the reference's adversarial target list;
     ``stochastic`` additionally drops ``pos_embed.proj`` (the
@@ -66,11 +88,11 @@ def sd3_bundle(
     else:
         targets = SD3_LORA_TARGETS
     return SD3Bundle(
-        mmdit_cfg=SD3_MEDIUM_CONFIG,
-        vae_cfg=SD3_VAE_CONFIG,
-        text_cfg=clip_l,
-        text2_cfg=CLIP_BIG_G_CONFIG,
-        t5_cfg=T5_XXL_CONFIG,
+        mmdit_cfg=TINY_MMDIT_CONFIG if tiny else SD3_MEDIUM_CONFIG,
+        vae_cfg=TINY_VAE_CONFIG if tiny else SD3_VAE_CONFIG,
+        text_cfg=_TINY_CLIP_SD3 if tiny else clip_l,
+        text2_cfg=_TINY_CLIP_SD3 if tiny else CLIP_BIG_G_CONFIG,
+        t5_cfg=_TINY_T5 if tiny else T5_XXL_CONFIG,
         lora=LoRASpec(rank=lora_rank, alpha=8.0, targets=targets),
         dtype=dtype,
         remat=remat,

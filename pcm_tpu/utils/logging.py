@@ -61,8 +61,9 @@ class MetricsLogger:
         for i in range(n):
             r, c = divmod(i, cols)
             grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = arr[i]
-        img_dir = os.path.join(self.out_dir, "images")
-        os.makedirs(img_dir, exist_ok=True)
-        Image.fromarray(grid).save(os.path.join(img_dir, f"{tag}_{step:07d}.png"))
+        # tags may be paths ("validation/cfg7.5") -> nested dirs under images/
+        path = os.path.join(self.out_dir, "images", f"{tag}_{step:07d}.png")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(grid).save(path)
         if self.tb is not None:
             self.tb.add_image(tag, grid, step, dataformats="HWC")

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--checkpointing-steps", type=int, default=500)
     ap.add_argument("--checkpoints-total-limit", type=int, default=5)
     ap.add_argument("--validation-steps", type=int, default=500)
+    ap.add_argument("--log-every", type=int, default=10,
+                    help="metrics cadence; also the async-dispatch window "
+                         "(metrics are only materialized at log boundaries)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--multihost", action="store_true")
@@ -73,6 +76,10 @@ def main():
                     help="gradient checkpointing: full=min memory, dots/dots_small="
                          "keep (small) matmul outputs for a faster bwd, "
                          "none=fastest (needs HBM)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="swap every model for its TINY_* config: a seconds-"
+                         "long end-to-end smoke of the full CLI path (data, "
+                         "step compile, checkpointing, validation) on CPU")
     ap.add_argument("--validation-prompts", nargs="*", default=[
         "portrait photo of a girl, photograph, highly detailed face, depth of field",
         "Self-portrait oil painting, a beautiful cyborg with golden hair, 8k",
@@ -115,13 +122,15 @@ def main():
 
     # --- bundle + schedule ---
     if recipe.family == "sd15":
-        bundle = sd15_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy)
+        bundle = sd15_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
+                             tiny=args.tiny)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SD15_DISC_CONFIG
         tok_keys = ["input_ids"]
     elif recipe.family == "sdxl":
-        bundle = sdxl_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy)
+        bundle = sdxl_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
+                             tiny=args.tiny)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SDXL_DISC_CONFIG
@@ -129,11 +138,28 @@ def main():
     else:
         bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial,
                             remat=use_remat, remat_policy=policy,
-                            stochastic=recipe.stochastic)
+                            stochastic=recipe.stochastic, tiny=args.tiny)
         schedule = make_flow_schedule(shift=3.0)
         build_plain, build_adv = build_flow_distill_step, build_flow_adv_steps
         disc_cfg = SD3_DISC_CONFIG
         tok_keys = ["input_ids", "input_ids_2", "input_ids_3"]
+    # latent downscale follows the VAE depth (8x for the real SD VAEs,
+    # 2x for TINY_VAE_CONFIG under --tiny)
+    vae_scale = 2 ** (len(bundle.vae_cfg.block_out_channels) - 1)
+    if args.tiny:
+        # tiny discriminator taps: the 2-level TINY UNets expose
+        # down_0/down_1/mid/up_0/up_1; TINY_MMDIT has 2 blocks
+        from pcm_tpu.train.adv import DiscriminatorConfig
+
+        if recipe.family == "sd3":
+            disc_cfg = DiscriminatorConfig(taps=("block_0", "block_1"))
+        elif recipe.family == "sdxl":
+            disc_cfg = DiscriminatorConfig(taps=("down_0", "down_1", "mid"))
+        else:
+            disc_cfg = DiscriminatorConfig(
+                taps=("down_0", "down_1", "mid", "up_0", "up_1"),
+                num_h_per_head=4, kernel=3,
+            )
 
     # --- params ---
     from pcm_tpu.train.bundles import init_frozen_cpu
@@ -232,6 +258,7 @@ def main():
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
         validation_steps=args.validation_steps,
+        log_every=args.log_every,
         seed=args.seed,
         resume=not args.no_resume,
         kohya_prefix="lora_unet" if recipe.family != "sd3" else "lora_transformer",
@@ -239,7 +266,7 @@ def main():
 
     if recipe.adversarial:
         disc = Discriminator(disc_cfg)
-        latent_hw = res // 8
+        latent_hw = res // vae_scale
         ids0 = {k: v[:1] for k, v in empty_ids.items()}
         if recipe.family == "sd15":
             cond0 = bundle.encode_prompts(frozen, ids0["input_ids"])
@@ -338,7 +365,7 @@ def main():
         def gen(f, l, c, r, g):
             u = vuncond if g > 1.0 else None
             return pipe.generate(
-                f, l, c, u, r, latent_hw=res // 8, guidance_scale=g,
+                f, l, c, u, r, latent_hw=res // vae_scale, guidance_scale=g,
                 decode_chunk=2 if res >= 1024 else None,
             )
 
