@@ -37,15 +37,18 @@ class TextToImagePipeline:
         guidance_scale: float = 1.0,
         decode: bool = True,
         decode_chunk: Optional[int] = None,
+        init_latents: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """cond/uncond from ``bundle.encode_prompts``; returns images in
-        [-1, 1] (or raw latents with ``decode=False``)."""
+        [-1, 1] (or raw latents with ``decode=False``). ``init_latents``
+        replaces the rng-drawn starting noise — serving uses it for
+        per-request seed reproducibility independent of batch composition."""
         from ..ops.common import elementwise_impl
 
         with elementwise_impl("xla"):
             return self._generate(
                 frozen, lora, cond, uncond, rng, latent_hw, guidance_scale,
-                decode, decode_chunk,
+                decode, decode_chunk, init_latents,
             )
 
     def _generate(
@@ -59,6 +62,7 @@ class TextToImagePipeline:
         guidance_scale: float = 1.0,
         decode: bool = True,
         decode_chunk: Optional[int] = None,
+        init_latents: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         # inference graphs have no remat, so the faster XLA GEGLU/GroupNorm
         # compile fine here (see ops/common.py:pallas_elementwise)
@@ -67,9 +71,12 @@ class TextToImagePipeline:
         bsz = jax.tree.leaves(cond)[0].shape[0]
         ch = bundle_latent_channels(bundle)
         r_init, r_loop = jax.random.split(rng)
-        latents = jax.random.normal(
-            r_init, (bsz, latent_hw, latent_hw, ch), jnp.float32
-        )
+        if init_latents is not None:
+            latents = init_latents.astype(jnp.float32)
+        else:
+            latents = jax.random.normal(
+                r_init, (bsz, latent_hw, latent_hw, ch), jnp.float32
+            )
 
         use_cfg = guidance_scale > 1.0 and uncond is not None
         timesteps = sampler.timesteps

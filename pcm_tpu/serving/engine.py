@@ -1,0 +1,157 @@
+"""Fixed-shape batched inference engine for few-step PCM students.
+
+TPU serving economics dictate the design: XLA compiles ONE graph at a fixed
+batch size, partial batches are padded (pad rows are free relative to a
+recompile or a bucket of graphs), and every request carries its own seed so
+results are reproducible regardless of which batch the request landed in
+(per-request init noise via ``TextToImagePipeline.generate(init_latents=...)``).
+
+The reference repo serves through a single-request gradio app
+(`demo/app.py:61-101`); this is the production path it lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sampling.pipeline import TextToImagePipeline, bundle_latent_channels
+
+
+def make_prompt_encoder(bundle, toks: Dict[str, Any], resolution: int) -> Callable:
+    """Family-dispatched ``encode(prompts) -> cond`` over a bundle's text
+    towers (same shapes scripts/train.py's validation encoder produces)."""
+    family = type(bundle).__name__
+
+    def encode(prompts: Sequence[str]):
+        n = len(prompts)
+        ids = {k: jnp.asarray(t(list(prompts))) for k, t in toks.items()}
+        if family == "SD15Bundle":
+            return bundle.encode_prompts(encode.frozen, ids["input_ids"])
+        if family == "SDXLBundle":
+            time_ids = jnp.tile(
+                jnp.asarray(
+                    [[resolution, resolution, 0, 0, resolution, resolution]],
+                    jnp.float32,
+                ),
+                (n, 1),
+            )
+            return bundle.encode_prompts(
+                encode.frozen, ids["input_ids"], ids["input_ids_2"], time_ids
+            )
+        return bundle.encode_prompts(
+            encode.frozen, ids["input_ids"], ids["input_ids_2"], ids["input_ids_3"]
+        )
+
+    return encode
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    batch_size: int = 4
+    latent_hw: int = 64  # resolution // vae_scale
+    resolution: int = 512
+    guidance_scale: float = 1.0
+    decode_chunk: Optional[int] = None
+
+
+class InferenceEngine:
+    """Thread-safe batched generate over one compiled pipeline graph.
+
+    ``generate_batch`` takes up to ``batch_size`` (prompt, seed) pairs, pads
+    the tail by repeating the last row, and returns exactly ``len(prompts)``
+    uint8 HWC images. One jitted graph per engine; no shape buckets.
+    """
+
+    def __init__(
+        self,
+        bundle,
+        sampler,
+        frozen,
+        lora,
+        toks: Dict[str, Any],
+        cfg: EngineConfig,
+        mesh=None,
+    ):
+        """``mesh``: optional `jax.sharding.Mesh` with a ``data`` axis —
+        the batch is sharded across it (data-parallel multi-chip serving;
+        ``batch_size`` must be a multiple of the axis size), params are
+        replicated."""
+        self.bundle = bundle
+        self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            frozen = replicate(frozen, mesh)
+            lora = replicate(lora, mesh) if lora is not None else None
+        self.frozen = frozen
+        self.lora = lora
+        self.pipe = TextToImagePipeline(bundle, sampler)
+        self._encode = make_prompt_encoder(bundle, toks, cfg.resolution)
+        self._encode.frozen = frozen
+        self._lock = threading.Lock()  # one device executor
+        self.stats = {"requests": 0, "batches": 0, "pad_rows": 0}
+
+        use_cfg = cfg.guidance_scale > 1.0
+        self._uncond = (
+            self._encode([""] * cfg.batch_size) if use_cfg else None
+        )
+        if mesh is not None and self._uncond is not None:
+            from ..parallel.mesh import shard_batch
+
+            self._uncond = shard_batch(self._uncond, mesh)
+        ch = bundle_latent_channels(bundle)
+        self._latent_shape = (cfg.latent_hw, cfg.latent_hw, ch)
+
+        def _gen(frozen_, lora_, cond, rng, init):
+            return self.pipe.generate(
+                frozen_, lora_, cond, self._uncond, rng,
+                latent_hw=cfg.latent_hw, guidance_scale=cfg.guidance_scale,
+                decode_chunk=cfg.decode_chunk, init_latents=init,
+            )
+
+        self._gen = jax.jit(_gen)
+
+    def _init_noise(self, seeds: Sequence[int]) -> jnp.ndarray:
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        return jax.vmap(
+            lambda k: jax.random.normal(k, self._latent_shape, jnp.float32)
+        )(keys)
+
+    def generate_batch(
+        self, prompts: Sequence[str], seeds: Sequence[int]
+    ) -> np.ndarray:
+        assert len(prompts) == len(seeds) != 0
+        n, b = len(prompts), self.cfg.batch_size
+        assert n <= b, f"batch of {n} exceeds engine batch_size {b}"
+        pad = b - n
+        prompts = list(prompts) + [prompts[-1]] * pad
+        seeds = list(seeds) + [seeds[-1]] * pad
+        with self._lock:
+            cond = self._encode(prompts)
+            init = self._init_noise(seeds)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                cond = shard_batch(cond, self.mesh)
+                init = shard_batch(init, self.mesh)
+            # the in-loop rng only matters for stochastic samplers' renoise;
+            # fold the batch seeds so those runs are still deterministic per
+            # (batch composition, seeds)
+            rng = jax.random.PRNGKey(int(seeds[0]) & 0x7FFFFFFF)
+            imgs = self._gen(self.frozen, self.lora, cond, rng, init)
+            out = np.asarray(imgs[:n], np.float32)
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["pad_rows"] += pad
+        return np.clip((out + 1) * 127.5, 0, 255).astype(np.uint8)
+
+    def warmup(self) -> None:
+        """Compile the graph before serving traffic."""
+        self.generate_batch(["warmup"], [0])

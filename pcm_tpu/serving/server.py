@@ -1,0 +1,167 @@
+"""Request-batching HTTP server over an InferenceEngine.
+
+Stdlib-only (no gradio/fastapi in the image). Requests queue; a single
+dispatcher thread coalesces up to ``engine.cfg.batch_size`` of them within a
+``max_wait_ms`` window and runs one fixed-shape device batch — the standard
+TPU serving pattern (one compiled graph, padding over recompiles, batching
+over per-request dispatch).
+
+API:
+  GET  /healthz    -> {"ok": true, "stats": {...}}
+  POST /generate   {"prompt": str, "seed": int?}  -> {"image_b64": png,
+                    "batch_size": n, "latency_ms": t}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .engine import InferenceEngine
+
+
+class _Pending:
+    __slots__ = ("prompt", "seed", "future", "t0")
+
+    def __init__(self, prompt: str, seed: int):
+        self.prompt = prompt
+        self.seed = seed
+        self.future: Future = Future()
+        self.t0 = time.monotonic()
+
+
+class BatchingServer:
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_wait_ms: float = 50.0,
+    ):
+        self.engine = engine
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def address(self):
+        return self._httpd.server_address  # (host, port) — port resolved if 0
+
+    def start(self) -> None:
+        self._dispatcher.start()
+        self._serve_thread.start()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._queue.put(None)
+        self._dispatcher.join(timeout=10)
+
+    def serve_forever(self) -> None:
+        self.start()
+        self._serve_thread.join()
+
+    # -- batching core ------------------------------------------------------
+
+    def _dispatch_loop(self) -> None:
+        b = self.engine.cfg.batch_size
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < b:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run(batch)
+                    return
+                batch.append(nxt)
+            self._run(batch)
+
+    def _run(self, batch) -> None:
+        try:
+            imgs = self.engine.generate_batch(
+                [p.prompt for p in batch], [p.seed for p in batch]
+            )
+            for p, img in zip(batch, imgs):
+                p.future.set_result((img, len(batch)))
+        except Exception as e:  # surface engine failures to every waiter
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(e)
+
+    # -- http ---------------------------------------------------------------
+
+    def _make_handler(self):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True, "stats": outer.engine.stats})
+                else:
+                    self._json(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._json(404, {"error": "unknown path"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    prompt = req["prompt"]
+                    seed = int(req.get("seed", 0))
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
+                pending = _Pending(prompt, seed)
+                outer._queue.put(pending)
+                try:
+                    img, bsz = pending.future.result(timeout=600)
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+                    return
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG")
+                self._json(
+                    200,
+                    {
+                        "image_b64": base64.b64encode(buf.getvalue()).decode(),
+                        "batch_size": bsz,
+                        "latency_ms": round(
+                            (time.monotonic() - pending.t0) * 1000, 1
+                        ),
+                    },
+                )
+
+        return Handler

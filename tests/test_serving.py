@@ -1,0 +1,159 @@
+"""Batched-serving tests: engine padding/reproducibility + HTTP batching."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from pcm_tpu.core import make_ddpm_schedule
+from pcm_tpu.data.tokenizer import HashTokenizer
+from pcm_tpu.lora.layers import LoRASpec
+from pcm_tpu.models.clip import CLIPTextConfig
+from pcm_tpu.models.unet import TINY_UNET_CONFIG
+from pcm_tpu.models.vae import TINY_VAE_CONFIG
+from pcm_tpu.sampling import DDIMSampler
+from pcm_tpu.serving import BatchingServer, EngineConfig, InferenceEngine
+from pcm_tpu.train.bundles import SD15Bundle, SD_UNET_LORA_TARGETS
+
+
+def _tiny_engine(batch_size=2, guidance_scale=1.0):
+    text_cfg = CLIPTextConfig(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, _ = bundle.init(jax.random.PRNGKey(0), 32)
+    sampler = DDIMSampler.create(make_ddpm_schedule(), 2)
+    toks = {"input_ids": HashTokenizer(quiet=True)}
+    return InferenceEngine(
+        bundle, sampler, frozen, None, toks,
+        EngineConfig(batch_size=batch_size, latent_hw=16, resolution=32,
+                     guidance_scale=guidance_scale),
+    )
+
+
+@pytest.fixture(scope="module")
+def shared_engine():
+    return _tiny_engine(batch_size=2)
+
+
+def test_engine_padding_and_seed_reproducibility(shared_engine):
+    engine = shared_engine
+
+    # a padded single-request batch must equal the same request's row in a
+    # full batch (per-request init noise; DDIM is deterministic)
+    solo = engine.generate_batch(["a red square"], [7])
+    assert solo.shape == (1, 32, 32, 3) and solo.dtype == np.uint8
+    duo = engine.generate_batch(["a red square", "a blue circle"], [7, 8])
+    assert duo.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(solo[0], duo[0])
+
+    # different seeds must differ
+    assert np.any(duo[0] != engine.generate_batch(["a red square"], [9])[0])
+    assert engine.stats["pad_rows"] >= 2  # the two solo calls were padded
+
+
+@pytest.mark.slow
+def test_engine_cfg_graph():
+    engine = _tiny_engine(batch_size=2, guidance_scale=7.5)
+    out = engine.generate_batch(["x", "y"], [0, 1])
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
+@pytest.mark.slow
+def test_http_server_batches_concurrent_requests():
+    engine = _tiny_engine(batch_size=2)
+    engine.warmup()
+    server = BatchingServer(engine, port=0, max_wait_ms=3000.0)
+    server.start()
+    host, port = server.address
+    url = f"http://{host}:{port}"
+
+    results = {}
+
+    def post(i):
+        req = urllib.request.Request(
+            url + "/generate",
+            data=json.dumps({"prompt": f"image {i}", "seed": i}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            results[i] = json.loads(r.read())
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    with urllib.request.urlopen(url + "/healthz", timeout=10) as resp:
+        health = json.loads(resp.read())
+    server.stop()
+
+    assert health["ok"] and health["stats"]["requests"] >= 2
+    assert set(results) == {0, 1}
+    # with a 3 s window and instant submissions, both rode one device batch
+    assert {r["batch_size"] for r in results.values()} == {2}
+    for r in results.values():
+        img = Image.open(io.BytesIO(base64.b64decode(r["image_b64"])))
+        assert img.size == (32, 32)
+
+
+@pytest.mark.slow
+def test_engine_sharded_over_mesh_matches_unsharded(shared_engine):
+    """Data-parallel serving: batch sharded over the 8-virtual-device mesh
+    must reproduce the single-device engine's images bit-for-bit (same
+    per-request init noise; XLA collectives only change layout, not math)."""
+    from pcm_tpu.parallel.mesh import make_mesh
+
+    text_cfg = CLIPTextConfig(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, _ = bundle.init(jax.random.PRNGKey(0), 32)
+    sampler = DDIMSampler.create(make_ddpm_schedule(), 2)
+    toks = {"input_ids": HashTokenizer(quiet=True)}
+    mesh = make_mesh(data=8, fsdp=1)
+    engine = InferenceEngine(
+        bundle, sampler, frozen, None, toks,
+        EngineConfig(batch_size=8, latent_hw=16, resolution=32),
+        mesh=mesh,
+    )
+    prompts = [f"img {i}" for i in range(8)]
+    seeds = list(range(8))
+    sharded = engine.generate_batch(prompts, seeds)
+    assert sharded.shape == (8, 32, 32, 3)
+
+    # single-request path through the shared single-device engine: same seed
+    # -> same image row (init noise is per-request, not per-batch)
+    solo = shared_engine.generate_batch([prompts[3]], [seeds[3]])
+    np.testing.assert_allclose(
+        sharded[3].astype(np.int32), solo[0].astype(np.int32), atol=1,
+    )
+
+
+def test_http_server_bad_request(shared_engine):
+    server = BatchingServer(shared_engine, port=0, max_wait_ms=10.0)
+    server.start()
+    host, port = server.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/generate", data=b'{"seed": 1}',
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    server.stop()
