@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--negative-prompt", default="")
     ap.add_argument("--steps", type=int, default=2, choices=[1, 2, 4, 8, 16])
     ap.add_argument("--cfg", type=float, default=1.0)
+    ap.add_argument("--shift", type=float, default=3.0,
+                    help="SD3 sigma-shift; the reference's sd3_test.py "
+                         "recipes use shift 1 and 3 (`sd3_test.py:11-193`)")
     ap.add_argument("--resolution", type=int, default=None)
     ap.add_argument("--scheduler", default=None,
                     choices=[None, "ddim", "tcd", "fm_det", "fm_stoch"])
@@ -85,7 +88,7 @@ def main():
     nids = jnp.asarray(tok(neg))
 
     if args.family == "sd3":
-        sched = make_flow_schedule(shift=3.0)
+        sched = make_flow_schedule(shift=args.shift)
         stochastic = args.scheduler == "fm_stoch"
         sampler = PCMFMSampler.create(sched, args.steps, pcm_timesteps=100, stochastic=stochastic)
         cond = bundle.encode_prompts(frozen, ids, ids, ids)
