@@ -145,6 +145,57 @@ def test_engine_sharded_over_mesh_matches_unsharded(shared_engine):
     )
 
 
+@pytest.mark.slow
+def test_serve_cli_tiny(tmp_path):
+    """scripts/serve.py end-to-end in --tiny mode: launcher plumbing
+    (int8 frozen weights, sampler build, warmup) + live HTTP generate."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys, runpy; sys.argv = ['serve.py', '--family', 'sd15',"
+        " '--tiny', '--steps', '2', '--batch-size', '2', '--resolution',"
+        " '32', '--port', '0', '--weights', 'int8'];"
+        f"runpy.run_path({os.path.join(repo, 'scripts', 'serve.py')!r},"
+        " run_name='__main__')"
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", code], cwd=repo, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            m = re.search(r"serving on http://127\.0\.0\.1:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, "server never came up"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "cli smoke", "seed": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        img = Image.open(io.BytesIO(base64.b64decode(out["image_b64"])))
+        assert img.size == (32, 32)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_http_server_bad_request(shared_engine):
     server = BatchingServer(shared_engine, port=0, max_wait_ms=10.0)
     server.start()
