@@ -23,7 +23,9 @@ import numpy as np
 from ..sampling.pipeline import TextToImagePipeline, bundle_latent_channels
 
 
-def make_prompt_encoder(bundle, toks: Dict[str, Any], resolution: int) -> Callable:
+def make_prompt_encoder(
+    bundle, toks: Dict[str, Any], resolution: int, frozen
+) -> Callable:
     """Family-dispatched ``encode(prompts) -> cond`` over a bundle's text
     towers (same shapes scripts/train.py's validation encoder produces)."""
     family = type(bundle).__name__
@@ -32,7 +34,7 @@ def make_prompt_encoder(bundle, toks: Dict[str, Any], resolution: int) -> Callab
         n = len(prompts)
         ids = {k: jnp.asarray(t(list(prompts))) for k, t in toks.items()}
         if family == "SD15Bundle":
-            return bundle.encode_prompts(encode.frozen, ids["input_ids"])
+            return bundle.encode_prompts(frozen, ids["input_ids"])
         if family == "SDXLBundle":
             time_ids = jnp.tile(
                 jnp.asarray(
@@ -42,10 +44,10 @@ def make_prompt_encoder(bundle, toks: Dict[str, Any], resolution: int) -> Callab
                 (n, 1),
             )
             return bundle.encode_prompts(
-                encode.frozen, ids["input_ids"], ids["input_ids_2"], time_ids
+                frozen, ids["input_ids"], ids["input_ids_2"], time_ids
             )
         return bundle.encode_prompts(
-            encode.frozen, ids["input_ids"], ids["input_ids_2"], ids["input_ids_3"]
+            frozen, ids["input_ids"], ids["input_ids_2"], ids["input_ids_3"]
         )
 
     return encode
@@ -93,8 +95,7 @@ class InferenceEngine:
         self.frozen = frozen
         self.lora = lora
         self.pipe = TextToImagePipeline(bundle, sampler)
-        self._encode = make_prompt_encoder(bundle, toks, cfg.resolution)
-        self._encode.frozen = frozen
+        self._encode = make_prompt_encoder(bundle, toks, cfg.resolution, frozen)
         self._lock = threading.Lock()  # one device executor
         self.stats = {"requests": 0, "batches": 0, "pad_rows": 0}
 
