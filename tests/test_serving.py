@@ -146,6 +146,61 @@ def test_engine_sharded_over_mesh_matches_unsharded(shared_engine):
 
 
 @pytest.mark.slow
+def test_engine_sdxl_and_sd3_families():
+    """Family dispatch in make_prompt_encoder: SDXL (dual CLIP + time_ids)
+    and SD3 (triple towers + PCM-FM sampler) engines generate end-to-end."""
+    import dataclasses
+
+    from pcm_tpu.core import make_flow_schedule
+    from pcm_tpu.models.mmdit import SD3_LORA_TARGETS, TINY_MMDIT_CONFIG
+    from pcm_tpu.models.t5 import TINY_T5_CONFIG
+    from pcm_tpu.models.unet import TINY_SDXL_CONFIG
+    from pcm_tpu.sampling import PCMFMSampler
+    from pcm_tpu.train.bundles import SD3Bundle, SDXLBundle
+
+    # SDXL
+    te1 = CLIPTextConfig(hidden_size=16, num_layers=2, num_heads=2,
+                         intermediate_size=32)
+    te2 = CLIPTextConfig(hidden_size=16, num_layers=2, num_heads=2,
+                         intermediate_size=32, projection_dim=32)
+    xl = SDXLBundle(
+        unet_cfg=TINY_SDXL_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+        text_cfg=te1, text2_cfg=te2,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, _ = xl.init(jax.random.PRNGKey(0), 32, seq_len=16)
+    toks = {k: HashTokenizer(quiet=True)
+            for k in ("input_ids", "input_ids_2")}
+    eng = InferenceEngine(
+        xl, DDIMSampler.create(make_ddpm_schedule(), 2), frozen, None, toks,
+        EngineConfig(batch_size=2, latent_hw=16, resolution=32),
+    )
+    out = eng.generate_batch(["xl smoke"], [0])
+    assert out.shape == (1, 32, 32, 3)
+
+    # SD3 (stochastic PCM-FM uses the in-loop rng too)
+    clip_sd3 = CLIPTextConfig(hidden_size=16, num_layers=2, num_heads=2,
+                              intermediate_size=32, projection_dim=16)
+    t5_cfg = dataclasses.replace(TINY_T5_CONFIG, d_model=32, d_kv=8, d_ff=64)
+    sd3 = SD3Bundle(
+        mmdit_cfg=TINY_MMDIT_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+        text_cfg=clip_sd3, text2_cfg=clip_sd3, t5_cfg=t5_cfg,
+        lora=LoRASpec(rank=4, targets=SD3_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen3, _ = sd3.init(jax.random.PRNGKey(0), 32, seq_len=8)
+    toks3 = {k: HashTokenizer(quiet=True)
+             for k in ("input_ids", "input_ids_2", "input_ids_3")}
+    eng3 = InferenceEngine(
+        sd3, PCMFMSampler.create(make_flow_schedule(shift=3.0), 2, stochastic=True),
+        frozen3, None, toks3,
+        EngineConfig(batch_size=2, latent_hw=16, resolution=32),
+    )
+    out3 = eng3.generate_batch(["sd3 smoke", "two"], [1, 2])
+    assert out3.shape == (2, 32, 32, 3)
+    assert np.isfinite(out3.astype(np.float32)).all()
+
+
+@pytest.mark.slow
 def test_serve_cli_tiny(tmp_path):
     """scripts/serve.py end-to-end in --tiny mode: launcher plumbing
     (int8 frozen weights, sampler build, warmup) + live HTTP generate."""
