@@ -44,6 +44,7 @@ class ImageFolderDataset:
         crop: str = "center",  # "center" | "random" (random returns crop coords)
         proportion_empty_prompts: float = 0.0,
         seed: int = 0,
+        use_native: Optional[bool] = None,  # None = auto-detect
     ):
         self.files = list_image_files(root)
         if not self.files:
@@ -52,28 +53,48 @@ class ImageFolderDataset:
         self.crop = crop
         self.proportion_empty_prompts = proportion_empty_prompts
         self.rng = random.Random(seed)
+        if use_native is None:
+            from . import native_image
+
+            use_native = native_image.available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.files)
 
-    def _load(self, idx: int) -> Dict:
+    def _load_resized_rgb(self, path: str) -> np.ndarray:
+        """(H, W, 3) uint8 with the shortest side Lanczos-resized to
+        ``self.resolution`` — native C++ pipeline (GIL-free decode+resize,
+        JPEG DCT prescale) when available, PIL otherwise."""
+        res = self.resolution
+        if self.use_native:
+            from . import native_image
+
+            if path.lower().endswith(native_image.NATIVE_EXTS):
+                try:
+                    return native_image.load_resized(path, res)
+                except ValueError:
+                    pass  # exotic subformat (e.g. CMYK JPEG) — PIL fallback
         from PIL import Image
 
-        path = self.files[idx]
         img = Image.open(path).convert("RGB")
-        res = self.resolution
-        # resize shortest side to `res` (Lanczos), then crop
         w, h = img.size
         scale = res / min(w, h)
         img = img.resize((max(res, round(w * scale)), max(res, round(h * scale))), Image.LANCZOS)
-        w, h = img.size
+        return np.asarray(img, np.uint8)
+
+    def _load(self, idx: int) -> Dict:
+        path = self.files[idx]
+        res = self.resolution
+        rgb = self._load_resized_rgb(path)
+        h, w = rgb.shape[:2]
         if self.crop == "center":
             left, top = (w - res) // 2, (h - res) // 2
         else:
             left = self.rng.randint(0, w - res) if w > res else 0
             top = self.rng.randint(0, h - res) if h > res else 0
-        img = img.crop((left, top, left + res, top + res))
-        arr = np.asarray(img, np.float32) / 127.5 - 1.0  # (H, W, 3) in [-1, 1]
+        crop = rgb[top : top + res, left : left + res]
+        arr = crop.astype(np.float32) / 127.5 - 1.0  # (H, W, 3) in [-1, 1]
 
         cap_path = os.path.splitext(path)[0] + ".txt"
         caption = ""
