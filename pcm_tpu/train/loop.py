@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
@@ -41,6 +43,11 @@ class LoopConfig:
     # only — a per-step readback would fence the device every step (~60 ms on
     # the remote backend) and serialize dispatch.
     abort_on_nonfinite: bool = True
+    # preemption safety (the reference has none — a SIGTERM'd run loses up to
+    # `checkpointing_steps` of work): catch SIGTERM/SIGINT, finish the
+    # in-flight step, checkpoint, and return cleanly so `resume=True` picks
+    # up at the exact step on restart.
+    save_on_preemption: bool = True
 
 
 class Trainer:
@@ -93,8 +100,16 @@ class Trainer:
             max_to_keep=loop_cfg.checkpoints_total_limit,
         )
         self.global_step = 0
+        self._stop_requested = False
         if loop_cfg.resume:
             self._try_resume()
+
+    def request_stop(self):
+        """Ask the loop to checkpoint and return after the in-flight step.
+
+        Safe from any thread (and from the SIGTERM handler `run` installs
+        when ``save_on_preemption``)."""
+        self._stop_requested = True
 
     # -- checkpoint -------------------------------------------------------
     def _ckpt_state(self):
@@ -143,9 +158,20 @@ class Trainer:
 
         from collections import deque
 
+        # Preemption handler: only the main thread can set signal handlers,
+        # and nested harnesses (tests, notebooks) may run this off-main —
+        # degrade to request_stop()-only there.
+        prev_handlers = {}
+        if cfg.save_on_preemption and threading.current_thread() is threading.main_thread():
+            def _on_signal(signum, frame):
+                self.request_stop()
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+
         batches = prepped()
         lookahead: deque = deque()
-        while self.global_step < cfg.max_train_steps:
+        while self.global_step < cfg.max_train_steps and not self._stop_requested:
             while len(lookahead) <= max(prefetch, 0):
                 lookahead.append(next(batches))
             batch = lookahead.popleft()
@@ -201,6 +227,10 @@ class Trainer:
                 elif images is not None:
                     self.logger.log_images(self.global_step, "validation", images)
 
+        if self._stop_requested and self.global_step % cfg.checkpointing_steps != 0:
+            self.logger.log(self.global_step, {"preempted": 1.0})
         self._save()
         self.ckpt.wait()
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
         return self.g_state, self.d_state

@@ -162,6 +162,78 @@ def test_trainer_nonfinite_loss_guard(tmp_path):
     trainer2.ckpt.close()
 
 
+def test_trainer_preemption_sigterm(tmp_path):
+    """SIGTERM mid-run (a TPU-pod preemption) checkpoints the in-flight step
+    and returns cleanly; a fresh Trainer resumes at that exact step. The
+    reference has no equivalent — a preempted run replays from the last
+    periodic checkpoint."""
+    import signal
+
+    tx = make_optimizer(1e-3)
+
+    def step_fn(state, frozen, batch, rng):
+        return state.replace(step=state.step + 1), {"loss": jnp.float32(0.1)}
+
+    def batches():
+        n = 0
+        while True:
+            n += 1
+            if n == 4:  # host-side, so it actually fires (step_fn is jitted)
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield {"x": np.zeros((1,), np.float32)}
+
+    prev = signal.getsignal(signal.SIGTERM)
+    loop_cfg = LoopConfig(
+        output_dir=str(tmp_path / "preempt_run"), max_train_steps=1000,
+        checkpointing_steps=10_000, validation_steps=10_000, log_every=1000,
+    )
+    trainer = Trainer(loop_cfg, {}, TrainState.create(_dummy_lora(), tx),
+                      step_fn=step_fn)
+    g_state, _ = trainer.run(batches(), prefetch=1)
+    stop_step = trainer.global_step
+    trainer.ckpt.close()
+    assert 1 <= stop_step < 1000
+    assert int(g_state.step) == stop_step
+    assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+
+    trainer2 = Trainer(loop_cfg, {}, TrainState.create(_dummy_lora(), tx),
+                       step_fn=step_fn)
+    assert trainer2.global_step == stop_step
+    trainer2.ckpt.close()
+
+
+def test_trainer_request_stop_off_main_thread(tmp_path):
+    """request_stop() from a worker thread (no signal machinery) also stops
+    and checkpoints — the programmatic path for embedding harnesses."""
+    import threading
+
+    tx = make_optimizer(1e-3)
+    trainer_box = {}
+
+    def step_fn(state, frozen, batch, rng):
+        return state.replace(step=state.step + 1), {"loss": jnp.float32(0.1)}
+
+    def batches():
+        n = 0
+        while True:
+            n += 1
+            if n == 3:
+                threading.Thread(
+                    target=trainer_box["t"].request_stop).start()
+            yield {"x": np.zeros((1,), np.float32)}
+
+    loop_cfg = LoopConfig(
+        output_dir=str(tmp_path / "stop_run"), max_train_steps=1000,
+        checkpointing_steps=10_000, validation_steps=10_000, log_every=1000,
+    )
+    trainer = Trainer(loop_cfg, {}, TrainState.create(_dummy_lora(), tx),
+                      step_fn=step_fn)
+    trainer_box["t"] = trainer
+    g_state, _ = trainer.run(batches(), prefetch=1)
+    trainer.ckpt.close()
+    assert 1 <= trainer.global_step < 1000
+
+
 def test_kohya_roundtrip():
     from pcm_tpu.lora.kohya import from_kohya_state_dict, to_kohya_state_dict
 
