@@ -8,6 +8,7 @@ over per-request dispatch).
 
 API:
   GET  /healthz    -> {"ok": true, "stats": {...}}
+  GET  /stats      -> latency percentiles, throughput, batch occupancy
   POST /generate   {"prompt": str, "seed": int?}  -> {"image_b64": png,
                     "batch_size": n, "latency_ms": t}
 """
@@ -15,6 +16,7 @@ API:
 from __future__ import annotations
 
 import base64
+import collections
 import io
 import json
 import queue
@@ -47,6 +49,13 @@ class BatchingServer:
     ):
         self.engine = engine
         self.max_wait_s = max_wait_ms / 1000.0
+        # rolling observability window (stdlib-only): per-request end-to-end
+        # latency (queue wait + device batch) and per-batch occupancy
+        self._lat_ms: "collections.deque[float]" = collections.deque(maxlen=2048)
+        self._occupancy: "collections.deque[int]" = collections.deque(maxlen=512)
+        self._errors = 0
+        self._t_start = time.monotonic()
+        self._stats_lock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
@@ -100,12 +109,45 @@ class BatchingServer:
             imgs = self.engine.generate_batch(
                 [p.prompt for p in batch], [p.seed for p in batch]
             )
+            done = time.monotonic()
             for p, img in zip(batch, imgs):
                 p.future.set_result((img, len(batch)))
+            with self._stats_lock:
+                self._occupancy.append(len(batch))
+                for p in batch:
+                    self._lat_ms.append((done - p.t0) * 1000.0)
         except Exception as e:  # surface engine failures to every waiter
+            with self._stats_lock:
+                self._errors += 1
             for p in batch:
                 if not p.future.done():
                     p.future.set_exception(e)
+
+    def stats(self) -> dict:
+        """Rolling-window serving stats: latency percentiles, throughput,
+        batch occupancy (device-batch fill vs the compiled batch size)."""
+        with self._stats_lock:
+            lats = sorted(self._lat_ms)
+            occ = list(self._occupancy)
+            errors = self._errors
+        uptime = time.monotonic() - self._t_start
+
+        def pct(q: float) -> Optional[float]:
+            if not lats:
+                return None
+            return round(lats[min(len(lats) - 1, int(q * len(lats)))], 1)
+
+        eng = dict(self.engine.stats)
+        return {
+            **eng,
+            "errors": errors,
+            "uptime_s": round(uptime, 1),
+            "requests_per_s": round(eng.get("requests", 0) / max(uptime, 1e-9), 3),
+            "latency_ms": {"p50": pct(0.5), "p90": pct(0.9), "p99": pct(0.99)},
+            "batch_occupancy": round(sum(occ) / (len(occ) * self.engine.cfg.batch_size), 3)
+            if occ else None,
+            "window": len(lats),
+        }
 
     # -- http ---------------------------------------------------------------
 
@@ -127,6 +169,8 @@ class BatchingServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._json(200, {"ok": True, "stats": outer.engine.stats})
+                elif self.path == "/stats":
+                    self._json(200, outer.stats())
                 else:
                     self._json(404, {"error": "unknown path"})
 

@@ -98,9 +98,17 @@ def test_http_server_batches_concurrent_requests():
 
     with urllib.request.urlopen(url + "/healthz", timeout=10) as resp:
         health = json.loads(resp.read())
+    with urllib.request.urlopen(url + "/stats", timeout=10) as resp:
+        stats = json.loads(resp.read())
     server.stop()
 
     assert health["ok"] and health["stats"]["requests"] >= 2
+    # observability endpoint: percentiles + occupancy over the rolling window
+    assert stats["window"] >= 2 and stats["errors"] == 0
+    assert stats["latency_ms"]["p50"] is not None
+    assert stats["latency_ms"]["p50"] <= stats["latency_ms"]["p99"]
+    assert stats["batch_occupancy"] == 1.0  # both requests rode one full batch
+    assert stats["requests_per_s"] > 0
     assert set(results) == {0, 1}
     # with a 3 s window and instant submissions, both rode one device batch
     assert {r["batch_size"] for r in results.values()} == {2}
