@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--shard-size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="TINY_* model configs (smoke mode, pair with "
+                         "`train.py --tiny`)")
     args = ap.parse_args()
 
     import jax
@@ -47,9 +50,9 @@ def main():
     from pcm_tpu.train.bundles import init_frozen_fast
 
     bundle = {
-        "sd15": lambda: sd15_bundle(remat=False),
-        "sdxl": lambda: sdxl_bundle(remat=False),
-        "sd3": lambda: sd3_bundle(remat=False),
+        "sd15": lambda: sd15_bundle(remat=False, tiny=args.tiny),
+        "sdxl": lambda: sdxl_bundle(remat=False, tiny=args.tiny),
+        "sd3": lambda: sd3_bundle(remat=False, tiny=args.tiny),
     }[args.family]()
     frozen, _ = init_frozen_fast(bundle, seed=args.seed)
     if args.teacher_checkpoint:
@@ -78,6 +81,11 @@ def main():
 
     @jax.jit
     def encode(frozen, batch):
+        # bundle.encode packages the (here-discarded) uncond branch from
+        # batch keys on SD1.5/SD3 — feed placeholders so only the cond/latent
+        # towers are traced
+        batch = dict(batch, uncond_embeds=jnp.zeros((1,), jnp.float32),
+                     uncond_pooled=jnp.zeros((1,), jnp.float32))
         latents, cond, _ = bundle.encode(frozen, batch, jax.random.PRNGKey(0))
         out = {"latents": latents}
         if args.family == "sd15":

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--text", nargs="+", help="text_encoder (CLIP-L)")
     ap.add_argument("--text2", nargs="+", help="text_encoder_2 (bigG)")
     ap.add_argument("--t5", nargs="+", help="text_encoder_3 (T5-XXL)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="TINY_* model configs (smoke/test mode)")
     args = ap.parse_args()
 
     from pcm_tpu.models.clip import convert_clip_torch_state
@@ -57,14 +59,14 @@ def main():
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
 
     if args.family == "sd15":
-        bundle = sd15_bundle()
+        bundle = sd15_bundle(tiny=args.tiny)
         frozen = {
             "unet": convert_unet_torch_state(load_safetensors(args.unet), bundle.unet_cfg),
             "vae": convert_vae_torch_state(load_safetensors(args.vae), bundle.vae_cfg),
             "text": convert_clip_torch_state(load_safetensors(args.text), bundle.text_cfg),
         }
     elif args.family == "sdxl":
-        bundle = sdxl_bundle()
+        bundle = sdxl_bundle(tiny=args.tiny)
         frozen = {
             "unet": convert_unet_torch_state(load_safetensors(args.unet), bundle.unet_cfg),
             "vae": convert_vae_torch_state(load_safetensors(args.vae), bundle.vae_cfg),
@@ -72,7 +74,7 @@ def main():
             "text2": convert_clip_torch_state(load_safetensors(args.text2), bundle.text2_cfg),
         }
     else:
-        bundle = sd3_bundle()
+        bundle = sd3_bundle(tiny=args.tiny)
         frozen = {
             "mmdit": convert_mmdit_torch_state(load_safetensors(args.unet), bundle.mmdit_cfg),
             "vae": convert_vae_torch_state(load_safetensors(args.vae), bundle.vae_cfg),
