@@ -44,7 +44,8 @@ def build_generator(args):
     from pcm_tpu.train.bundles import init_frozen_cpu
     from pcm_tpu.utils.safety import SafetyChecker
 
-    bundle = sd15_bundle(remat=False) if args.family == "sd15" else sdxl_bundle(remat=False)
+    bundle = (sd15_bundle(remat=False, tiny=args.tiny) if args.family == "sd15"
+              else sdxl_bundle(remat=False, tiny=args.tiny))
     frozen, lora_template = init_frozen_cpu(bundle, jax.random.PRNGKey(0))
     if args.teacher_checkpoint:
         import orbax.checkpoint as ocp
@@ -59,6 +60,10 @@ def build_generator(args):
     tok = HFTokenizer(args.tokenizer_dir) if args.tokenizer_dir else HashTokenizer()
     sched = make_ddpm_schedule()
     res = 512 if args.family == "sd15" else 1024
+    if args.tiny:
+        res = 32
+    # latent downscale follows the VAE depth (8x real VAEs, 2x TINY_VAE)
+    vae_scale = 2 ** (len(bundle.vae_cfg.block_out_channels) - 1)
 
     # live safety checker (ref demo/safety_checker.py:31-137): CLIP ViT-L/14
     # image features vs concept embeddings. Needs BOTH the concept npz and the
@@ -108,7 +113,7 @@ def build_generator(args):
             )
         img = pipe.generate(
             frozen, lora, cond, uncond, jax.random.PRNGKey(seed),
-            latent_hw=res // 8, guidance_scale=cfg,
+            latent_hw=res // vae_scale, guidance_scale=cfg,
         )
         arr = np.clip((np.asarray(img[0], np.float32) + 1) * 127.5, 0, 255).astype(np.uint8)
         if vision_extract is not None:
@@ -135,6 +140,8 @@ def main():
     ap.add_argument("--safety-clip-weights", default=None,
                     help="CLIP ViT-L/14 vision checkpoint (.safetensors/.bin) "
                          "for image features")
+    ap.add_argument("--tiny", action="store_true",
+                    help="TINY_* model configs at 32px (smoke/test mode)")
     args = ap.parse_args()
 
     generate = build_generator(args)

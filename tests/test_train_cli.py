@@ -27,19 +27,20 @@ def _make_dataset(root, n=8, size=48):
             f.write(f"a tiny test image {i}")
 
 
-def _run_cli(argv, cwd=REPO, script="train.py"):
+def _run_cli(argv, cwd=REPO, script="train.py", input=None):
     # subprocess so the CLI owns its own jax runtime; force CPU through
     # jax.config (the axon site-hook overrides JAX_PLATFORMS env vars)
+    path = script if "/" in script else os.path.join("scripts", script)
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "import sys, runpy; sys.argv = %r;"
         "runpy.run_path(%r, run_name='__main__')"
-        % ([script] + argv, os.path.join(REPO, "scripts", script))
+        % ([os.path.basename(script)] + argv, os.path.join(REPO, path))
     )
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # single CPU device is enough (and faster)
     return subprocess.run(
-        [sys.executable, "-c", code], cwd=cwd, env=env,
+        [sys.executable, "-c", code], cwd=cwd, env=env, input=input,
         capture_output=True, text=True, timeout=540,
     )
 
@@ -133,6 +134,24 @@ def test_cache_latents_then_train_from_cache(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     rows = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
     assert rows and all(np.isfinite(row["loss"]) for row in rows if "loss" in row)
+
+
+@pytest.mark.slow
+def test_demo_cli_tiny(tmp_path):
+    """demo/app.py in CLI-fallback mode (gradio absent in the image): a
+    prompt on stdin generates demo_out.png through the registry's 2-Step
+    DDIM path on tiny models."""
+    r = _run_cli(
+        ["--family", "sd15", "--tiny"],
+        script="demo/app.py", cwd=str(tmp_path),
+        input="a tiny smoke prompt\n\n",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = tmp_path / "demo_out.png"
+    assert out.is_file()
+    img = Image.open(out)
+    assert img.size == (32, 32)
+    assert "safety checker disabled" in r.stdout
 
 
 @pytest.mark.slow
