@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--stochastic", action="store_true",
                     help="SD3: PCM-FM stochastic sampler")
     ap.add_argument("--tiny", action="store_true", help="tiny-model smoke mode")
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="shard each serving batch over this many devices "
+                         "(batch-size must divide by it); 1 = single chip")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,18 @@ def main():
         k: HFTokenizer(args.tokenizer_dir) if args.tokenizer_dir else HashTokenizer()
         for k in tok_keys
     }
+    mesh = None
+    if args.data_parallel > 1:
+        from pcm_tpu.parallel.mesh import make_mesh
+
+        if args.batch_size % args.data_parallel:
+            ap.error("--batch-size must be divisible by --data-parallel")
+        if args.data_parallel > len(jax.devices()):
+            ap.error(f"--data-parallel {args.data_parallel} > "
+                     f"{len(jax.devices())} visible devices")
+        mesh = make_mesh(data=args.data_parallel, fsdp=1,
+                         devices=jax.devices()[: args.data_parallel])
+
     vae_scale = 2 ** (len(bundle.vae_cfg.block_out_channels) - 1)
     engine = InferenceEngine(
         bundle, sampler, frozen, lora, toks,
@@ -100,6 +115,7 @@ def main():
             guidance_scale=args.cfg,
             decode_chunk=2 if res >= 1024 and args.batch_size > 4 else None,
         ),
+        mesh=mesh,
     )
     print(f"# compiling {args.family} {args.steps}-step graph (bs={args.batch_size})...")
     engine.warmup()

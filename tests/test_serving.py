@@ -209,9 +209,14 @@ def test_engine_sdxl_and_sd3_families():
 
 
 @pytest.mark.slow
-def test_serve_cli_tiny(tmp_path):
+@pytest.mark.parametrize("extra_args,n_virtual_devices", [
+    ([], None),
+    (["--data-parallel", "2"], 8),  # batch sharded over a 2-device data mesh
+])
+def test_serve_cli_tiny(tmp_path, extra_args, n_virtual_devices):
     """scripts/serve.py end-to-end in --tiny mode: launcher plumbing
-    (int8 frozen weights, sampler build, warmup) + live HTTP generate."""
+    (int8 frozen weights, sampler build, warmup) + live HTTP generate;
+    the second case shards the serving batch over a virtual device mesh."""
     import os
     import re
     import subprocess
@@ -219,16 +224,20 @@ def test_serve_cli_tiny(tmp_path):
     import time
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    argv = ['serve.py', '--family', 'sd15', '--tiny', '--steps', '2',
+            '--batch-size', '2', '--resolution', '32', '--port', '0',
+            '--weights', 'int8'] + extra_args
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
-        "import sys, runpy; sys.argv = ['serve.py', '--family', 'sd15',"
-        " '--tiny', '--steps', '2', '--batch-size', '2', '--resolution',"
-        " '32', '--port', '0', '--weights', 'int8'];"
+        f"import sys, runpy; sys.argv = {argv!r};"
         f"runpy.run_path({os.path.join(repo, 'scripts', 'serve.py')!r},"
         " run_name='__main__')"
     )
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    if n_virtual_devices:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_virtual_devices}")
     proc = subprocess.Popen(
         [sys.executable, "-u", "-c", code], cwd=repo, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
