@@ -295,11 +295,13 @@ def main():
                          "kernels (per-channel scales), VAE stays bf16")
     ap.add_argument("--mode", default="train", choices=["train", "infer", "adv"])
     ap.add_argument("--int8-matmul", nargs="?", const="both", default=None,
-                    choices=["dense", "conv", "both"],
+                    choices=["dense", "conv", "both", "fused"],
                     help="compute QTensor-weighted matmuls/convs on the int8 "
                          "MXU path (activation quantization; pair with "
                          "--weights int8). Optional value restricts to dense "
-                         "or conv ops only")
+                         "or conv ops only; 'fused' = dense via the Pallas "
+                         "kernel with in-VMEM activation quant "
+                         "(ops/int8_matmul.py), convs bf16")
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     ap.add_argument("--d-graph", default="mono", choices=["mono", "split"],
                     help="adv mode: compile the D step monolithically or as "

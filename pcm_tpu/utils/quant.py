@@ -148,11 +148,13 @@ def int8_matmul(enable: bool = True, which: str = "both"):
     """Trace-scoped switch: QTensor-weighted LoRADense/LoRAConv layers compute
     through the int8 MXU path within this context.
 
-    ``which`` narrows the op class: "dense", "conv", or "both" — the
-    per-class split exists to bisect/deploy the paths independently (XLA's
-    int8 dense and conv lowerings perform very differently on some
-    backends)."""
-    if which not in ("dense", "conv", "both"):
+    ``which`` narrows the op class: "dense", "conv", "both", or "fused" —
+    the per-class split exists to bisect/deploy the paths independently
+    (XLA's int8 dense and conv lowerings perform very differently on some
+    backends). "fused" = dense ops only, through the Pallas kernel with
+    in-VMEM per-(row, K-tile) activation quantization
+    (`ops/int8_matmul.py`); convs stay on the dequantized bf16 path."""
+    if which not in ("dense", "conv", "both", "fused"):
         raise ValueError(which)
     tok = _INT8_MATMUL.set(which if enable else False)
     try:
@@ -161,13 +163,25 @@ def int8_matmul(enable: bool = True, which: str = "both"):
         _INT8_MATMUL.reset(tok)
 
 
-def int8_matmul_enabled(kind: str = "dense") -> bool:
-    """Is the int8 MXU path active for op class ``kind`` ("dense"/"conv")?"""
+def _int8_mode():
     v = _INT8_MATMUL.get()
     if v is None:
         env = os.environ.get("PCM_INT8_MATMUL", "0")
-        v = {"1": "both", "0": False}.get(env, env if env in ("dense", "conv", "both") else False)
+        v = {"1": "both", "0": False}.get(
+            env, env if env in ("dense", "conv", "both", "fused") else False)
+    return v
+
+
+def int8_matmul_enabled(kind: str = "dense") -> bool:
+    """Is the int8 MXU path active for op class ``kind`` ("dense"/"conv")?"""
+    v = _int8_mode()
+    if kind == "dense":
+        return v in ("both", "dense", "fused")
     return v in ("both", kind)
+
+
+def int8_fused_enabled() -> bool:
+    return _int8_mode() == "fused"
 
 
 def _quantize_act(x32: jnp.ndarray, axes) -> tuple:
@@ -207,8 +221,28 @@ def _qdot_bwd(dtype, res, g):
 _qdot.defvjp(_qdot_fwd, _qdot_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _qdot_fused(x, values, scale, dtype):
+    from ..ops.int8_matmul import fused_quantized_dot
+
+    return fused_quantized_dot(x, values, scale, out_dtype=dtype)
+
+
+def _qdot_fused_fwd(x, values, scale, dtype):
+    return _qdot_fused(x, values, scale, dtype), (values, scale)
+
+
+_qdot_fused.defvjp(_qdot_fused_fwd, _qdot_bwd)  # same exact-bf16 backward
+
+
 def quantized_dot(x: jnp.ndarray, qt: QTensor, dtype) -> jnp.ndarray:
-    """``x @ dequant(qt)`` computed as int8 x int8 -> int32 on the MXU."""
+    """``x @ dequant(qt)`` computed as int8 x int8 -> int32 on the MXU.
+
+    Under ``int8_matmul(which="fused")`` the activation quantization is
+    fused into the dot inside VMEM (Pallas, `ops/int8_matmul.py`) instead
+    of running as a separate XLA HBM pass."""
+    if int8_fused_enabled():
+        return _qdot_fused(x, qt.values, qt.scale, jnp.dtype(dtype))
     return _qdot(x, qt.values, qt.scale, jnp.dtype(dtype))
 
 

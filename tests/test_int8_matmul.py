@@ -132,3 +132,77 @@ def test_lora_dense_int8_context():
         grads = jax.grad(loss)(lora_tree)
     assert _rel(y_int8, y_deq) < 2e-2
     assert max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas path (ops/int8_matmul.py): in-VMEM activation quantization
+# ---------------------------------------------------------------------------
+
+
+def test_fused_quantized_dot_matches_exact():
+    from pcm_tpu.ops.int8_matmul import fused_quantized_dot
+    from pcm_tpu.utils.quant import quantize
+
+    rng = np.random.default_rng(0)
+    # multi-K-tile (1024/512=2 tiles), padded M (300 -> 512-block), odd N tile
+    for (m, k, n) in [(300, 1024, 640), (64, 256, 128), (1, 128, 128)]:
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(k, n)) * 0.05, jnp.float32)
+        qt = quantize(w)
+        exact = x.astype(jnp.float32) @ w
+        fused = fused_quantized_dot(
+            x, qt.values, qt.scale, out_dtype=jnp.bfloat16
+        ).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(fused - exact) / jnp.linalg.norm(exact))
+        assert rel < 0.02, (m, k, n, rel)  # int8 quantization noise only
+
+
+def test_fused_tile_scales_no_worse_than_row_scales():
+    """Per-(row, K-tile) quantization is finer-grained than _qdot's whole-row
+    scales: on activations with outlier columns the fused path's error must
+    not exceed the XLA path's (and is typically lower)."""
+    from pcm_tpu.ops.int8_matmul import fused_quantized_dot
+    from pcm_tpu.utils.quant import quantize, quantized_dot
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64, 1024)).astype(np.float32)
+    x[:, :512] *= 50.0  # outlier half dominates a whole-row amax
+    x = jnp.asarray(x, jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(1024, 256)) * 0.05, jnp.float32)
+    qt = quantize(w)
+    exact = x.astype(jnp.float32) @ w
+    fused = fused_quantized_dot(x, qt.values, qt.scale,
+                                out_dtype=jnp.float32, block_k=512)
+    xla = quantized_dot(x, qt, jnp.float32)
+    err_f = float(jnp.linalg.norm(fused - exact))
+    err_x = float(jnp.linalg.norm(xla - exact))
+    assert err_f <= err_x * 1.01, (err_f, err_x)
+
+
+def test_fused_dispatch_and_grad():
+    """which="fused" routes dense QTensor matmuls through the Pallas kernel
+    (convs stay dequant-bf16) and backward is the exact dequantized linear."""
+    from pcm_tpu.utils.quant import (
+        int8_fused_enabled,
+        int8_matmul,
+        int8_matmul_enabled,
+        quantize,
+        quantized_dot,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 50, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 128)) * 0.05, jnp.float32)
+    qt = quantize(w)
+    with int8_matmul(which="fused"):
+        assert int8_fused_enabled()
+        assert int8_matmul_enabled("dense")
+        assert not int8_matmul_enabled("conv")
+        y = quantized_dot(x, qt, jnp.float32)
+        g = jax.grad(lambda xx: quantized_dot(xx, qt, jnp.float32).sum())(x)
+    assert not int8_fused_enabled()
+    assert y.shape == (2, 50, 128)
+    wdq = (qt.values.astype(jnp.float32) * qt.scale).astype(jnp.float32)
+    g_exact = jax.grad(lambda xx: (xx @ wdq).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_exact),
+                               rtol=1e-5, atol=1e-5)
