@@ -282,3 +282,25 @@ def test_sdxl_distill_step_runs_and_updates():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), new_state.params, state.params
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+@pytest.mark.slow
+def test_distill_step_fused_int8_matmul():
+    """The full tiny distill step traces and runs with the FUSED int8 path
+    (Pallas in-VMEM activation quant, ops/int8_matmul.py) on quantized
+    frozen weights, and the loss tracks the dequantized-bf16 reference."""
+    from pcm_tpu.utils.quant import int8_matmul, quantize_frozen
+
+    bundle, frozen, state, step = _sd15_setup()
+    qfrozen = quantize_frozen(frozen, min_size=1024)
+    batch = _sd15_batch()
+    rng = jax.random.PRNGKey(0)
+
+    _, m_ref = jax.jit(step)(state, qfrozen, batch, rng)
+    with int8_matmul(which="fused"):
+        _, m_fused = jax.jit(step).lower(state, qfrozen, batch, rng).compile()(
+            state, qfrozen, batch, rng
+        )
+    ref, fused = float(m_ref["loss"]), float(m_fused["loss"])
+    assert np.isfinite(fused)
+    assert abs(fused - ref) / max(abs(ref), 1e-8) < 0.05, (ref, fused)
