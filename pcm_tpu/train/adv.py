@@ -102,6 +102,22 @@ class Discriminator(nn.Module):
         return outputs
 
 
+def feature_match_loss(fake_feats: Dict[str, jnp.ndarray],
+                       real_feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Mean-squared feature-matching loss over the discriminator taps,
+    stop-gradient on the real branch — the reference's `match_loss` /
+    `feature_loss` (`discriminator_sdxl.py:464-486`,
+    `discriminator_sd15.py:436-448`; defined on every Discriminator but
+    never invoked by any trainer — same optional status here)."""
+    taps = sorted(fake_feats)
+    per = [
+        jnp.mean((fake_feats[k].astype(jnp.float32)
+                  - jax.lax.stop_gradient(real_feats[k]).astype(jnp.float32)) ** 2)
+        for k in taps
+    ]
+    return sum(per) / len(per)
+
+
 @dataclasses.dataclass(frozen=True)
 class AdvConfig:
     adv_weight: float = 0.1

@@ -366,3 +366,27 @@ def test_flow_split_d_matches_monolithic_d_step():
         float(mono_m["d_loss"]), float(split_m["d_loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(mono_state.params), jax.tree.leaves(split_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_feature_match_loss():
+    """Reference match_loss semantics: mean MSE across taps, zero for
+    identical features, no gradient through the real branch."""
+    import jax
+
+    from pcm_tpu.train.adv import feature_match_loss
+
+    rng = np.random.RandomState(0)
+    fake = {"a": jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32),
+            "b": jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)}
+    same = feature_match_loss(fake, fake)
+    np.testing.assert_allclose(float(same), 0.0, atol=1e-7)
+
+    real = jax.tree.map(lambda x: x + 1.0, fake)
+    loss = feature_match_loss(fake, real)
+    np.testing.assert_allclose(float(loss), 1.0, rtol=1e-5)
+
+    # real branch is stop-grad: d(loss)/d(real) == 0, d/d(fake) nonzero
+    g_fake = jax.grad(lambda f: feature_match_loss(f, real))(fake)
+    assert float(jnp.abs(g_fake["a"]).max()) > 0
+    g_real = jax.grad(lambda r: feature_match_loss(fake, r))(real)
+    assert float(jnp.abs(g_real["a"]).max()) == 0.0
