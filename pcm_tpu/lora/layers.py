@@ -70,9 +70,13 @@ def _base_dot(x, kernel, dtype):
 
 
 def _base_conv(x, kernel, dtype, strides, padding):
-    from ..utils.quant import QTensor, int8_matmul_enabled, quantized_conv
+    from ..utils.quant import (QTensor, int8_fused_enabled,
+                               int8_matmul_enabled, quantized_conv)
 
-    if isinstance(kernel, QTensor) and int8_matmul_enabled("conv"):
+    if isinstance(kernel, QTensor) and (
+            int8_matmul_enabled("conv") or int8_fused_enabled()):
+        # fused mode: quantized_conv lowers pointwise (1x1) convs to the
+        # fused Pallas dot and leaves spatial convs on dequant-bf16.
         return quantized_conv(x, kernel, dtype, strides, padding)
     return lax.conv_general_dilated(
         x, kernel.astype(dtype), window_strides=tuple(strides), padding=padding,

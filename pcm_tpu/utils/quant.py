@@ -151,9 +151,10 @@ def int8_matmul(enable: bool = True, which: str = "both"):
     ``which`` narrows the op class: "dense", "conv", "both", or "fused" —
     the per-class split exists to bisect/deploy the paths independently
     (XLA's int8 dense and conv lowerings perform very differently on some
-    backends). "fused" = dense ops only, through the Pallas kernel with
-    in-VMEM per-(row, K-tile) activation quantization
-    (`ops/int8_matmul.py`); convs stay on the dequantized bf16 path."""
+    backends). "fused" = dense ops and pointwise (1x1, stride-1) convs,
+    through the Pallas kernel with in-VMEM per-(row, K-tile) activation
+    quantization (`ops/int8_matmul.py`); spatial convs stay on the
+    dequantized bf16 path."""
     if which not in ("dense", "conv", "both", "fused"):
         raise ValueError(which)
     tok = _INT8_MATMUL.set(which if enable else False)
@@ -284,11 +285,40 @@ def _qconv_bwd(dtype, strides, padding, res, g):
 _qconv.defvjp(_qconv_fwd, _qconv_bwd)
 
 
+def _conv_is_pointwise(values_shape, strides, padding) -> bool:
+    """True iff the conv is exactly a per-pixel matmul: 1x1 kernel, stride 1,
+    and no padding effect (SAME == VALID for 1x1)."""
+    if values_shape[0] != 1 or values_shape[1] != 1:
+        return False
+    if tuple(strides) != (1, 1):
+        return False
+    if padding in ("SAME", "VALID"):
+        return True
+    if isinstance(padding, (tuple, list)):
+        return all(tuple(p) == (0, 0) for p in padding)
+    return False
+
+
 def quantized_conv(x, qt: QTensor, dtype, strides=(1, 1), padding="SAME"):
     """NHWC conv with int8 x int8 -> int32 MXU compute (per-sample activation
-    scale — correct for any spatial kernel size)."""
+    scale — correct for any spatial kernel size).
+
+    Under ``int8_matmul(which="fused")`` pointwise (1x1, stride-1) convs are
+    lowered to the fused Pallas dot (`ops/int8_matmul.py`) — a 1x1 NHWC/HWIO
+    conv is exactly ``x.reshape(-1, I) @ w.reshape(I, O)`` — and all other
+    convs fall back to the dequantized bf16 conv (the XLA int8 conv lowering
+    is pathological in full train graphs; docs/ROUND2_NOTES.md)."""
     if isinstance(padding, (tuple, list)):
         padding = tuple(tuple(p) for p in padding)
+    if int8_fused_enabled():
+        if _conv_is_pointwise(qt.values.shape, strides, padding):
+            i, o = qt.values.shape[2], qt.values.shape[3]
+            return _qdot_fused(x, qt.values.reshape(i, o),
+                               qt.scale.reshape(1, o), jnp.dtype(dtype))
+        return jax.lax.conv_general_dilated(
+            x, qt.astype(dtype), window_strides=tuple(strides), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     return _qconv(x, qt.values, qt.scale, jnp.dtype(dtype), tuple(strides), padding)
 
 

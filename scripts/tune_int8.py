@@ -31,10 +31,13 @@ def main():
     from pcm_tpu.utils.quant import quantize, quantized_dot
     print(f"# backend: {jax.default_backend()}", flush=True)
 
-    # (M, K, N): SDXL attention/ff dims at 1024px (seq 4096) + SD3 (seq 4096+154)
+    # (M, K, N): SDXL attention/ff dims at 1024px (seq 4096) + SD3 (seq 4096+154),
+    # plus pointwise-conv shapes (resnet conv_shortcut at 128/64/32px latent —
+    # routed through this kernel under int8_matmul(which="fused"))
     shapes = [
         (4096, 640, 5120), (4096, 1280, 1280), (4096, 2048, 2048),
         (4250, 1536, 6144), (4096, 2560, 640), (1024, 1280, 10240),
+        (16384, 320, 640), (4096, 640, 1280), (1024, 1280, 1280),
     ]
     rng = np.random.default_rng(0)
     for (m, k, n) in shapes:

@@ -206,3 +206,44 @@ def test_fused_dispatch_and_grad():
     g_exact = jax.grad(lambda xx: (xx @ wdq).sum())(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_exact),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_pointwise_conv_routes_to_dense_kernel():
+    """which="fused": a 1x1 stride-1 QTensor conv lowers to the fused Pallas
+    dot (per-pixel matmul identity), spatial convs fall back to the exact
+    dequant-bf16 conv, and backward through the 1x1 path is the exact
+    dequantized linear op."""
+    from pcm_tpu.lora.layers import _base_conv
+    from pcm_tpu.utils.quant import int8_matmul, quantize
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 256)), jnp.float32)
+
+    # -- pointwise: int8-quant tolerance vs the exact matmul
+    w1 = jnp.asarray(rng.normal(size=(1, 1, 256, 128)) * 0.05, jnp.float32)
+    qt1 = quantize(w1)
+    exact = jnp.einsum("nhwi,io->nhwo", x, w1.reshape(256, 128))
+    with int8_matmul(which="fused"):
+        y = _base_conv(x, qt1, jnp.float32, (1, 1), "SAME")
+        g = jax.grad(lambda xx: _base_conv(
+            xx, qt1, jnp.float32, (1, 1), "SAME").sum())(x)
+    assert y.shape == exact.shape
+    assert _rel(y, exact) < 0.02
+    w1dq = (qt1.values.astype(jnp.float32) * qt1.scale).reshape(256, 128)
+    g_exact = jax.grad(
+        lambda xx: jnp.einsum("nhwi,io->nhwo", xx, w1dq).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_exact),
+                               rtol=1e-5, atol=1e-5)
+
+    # -- strided 1x1 and spatial 3x3 stay on the dequant conv (bit-exact)
+    import jax.lax as lax
+
+    for wshape, strides in [((1, 1, 256, 128), (2, 2)), ((3, 3, 256, 128), (1, 1))]:
+        w = jnp.asarray(rng.normal(size=wshape) * 0.05, jnp.float32)
+        qt = quantize(w)
+        ref = lax.conv_general_dilated(
+            x, qt.astype(jnp.float32), window_strides=strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        with int8_matmul(which="fused"):
+            out = _base_conv(x, qt, jnp.float32, strides, "SAME")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
