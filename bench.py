@@ -29,8 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from pcm_tpu.utils.cachedirs import setup_compile_cache, tree_cache_dir
+
+setup_compile_cache()
 
 A800_PEAK_FLOPS = 312e12
 REF_ASSUMED_MFU = 0.20  # see module docstring
@@ -61,7 +62,9 @@ def _init_weights(bundle, family: str, lora_rank: int, weights: str):
         return {"frozen": frozen, "lora": lora}
 
     key = f"{family}-r{lora_rank}-{weights}-seed0-v1"
-    trees = load_or_build(f"/tmp/pcm_tree_cache/{key}", build_trees)
+    import os
+
+    trees = load_or_build(os.path.join(tree_cache_dir(), key), build_trees)
     dev = jax.devices()[0]
     frozen = jax.device_put(trees["frozen"], dev)
     lora = jax.device_put(trees["lora"], dev)

@@ -16,8 +16,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from pcm_tpu.utils.cachedirs import setup_compile_cache
+
+setup_compile_cache()
 
 
 def timeit(fn, *args, iters=5, warmup=1):

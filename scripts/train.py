@@ -19,6 +19,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pcm_tpu.utils.cachedirs import setup_compile_cache
+
+setup_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,8 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from pcm_tpu.utils.cachedirs import setup_compile_cache
+
+setup_compile_cache()
 
 from pcm_tpu.ops import geglu, geglu_reference, group_norm_silu, group_norm_silu_reference
 from pcm_tpu.utils.profiling import device_timeit
