@@ -13,8 +13,9 @@ The reference repo serves through a single-request gradio app
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -94,10 +95,11 @@ class InferenceEngine:
             lora = replicate(lora, mesh) if lora is not None else None
         self.frozen = frozen
         self.lora = lora
+        self.lora_source: Optional[str] = None
         self.pipe = TextToImagePipeline(bundle, sampler)
         self._encode = make_prompt_encoder(bundle, toks, cfg.resolution, frozen)
         self._lock = threading.Lock()  # one device executor
-        self.stats = {"requests": 0, "batches": 0, "pad_rows": 0}
+        self.stats = {"requests": 0, "batches": 0, "pad_rows": 0, "lora_swaps": 0}
 
         use_cfg = cfg.guidance_scale > 1.0
         self._uncond = (
@@ -118,6 +120,51 @@ class InferenceEngine:
             )
 
         self._gen = jax.jit(_gen)
+
+    def load_lora(self, source: Union[str, os.PathLike, Any]) -> None:
+        """Hot-swap the LoRA adapter without recompiling.
+
+        The compiled graph takes the adapter tree as an ARGUMENT, so a swap is
+        a host→device transfer — serving traffic resumes on the next batch with
+        the new weights. ``source`` is a kohya-format ``.safetensors`` path or
+        an already-shaped lora tree. The engine must have been constructed with
+        an adapter tree (a zero-init template acts as a no-op adapter, LoRA
+        ``b=0``): going from ``lora=None`` to a tree changes the pytree
+        structure and would force a full recompile, so that is rejected.
+        """
+        if self.lora is None:
+            raise ValueError(
+                "engine was built without a LoRA tree; construct it with the "
+                "bundle's zero-init lora template to enable hot-swap"
+            )
+        if isinstance(source, (str, os.PathLike)):
+            from ..lora.kohya import load_kohya_safetensors
+
+            new, _ = load_kohya_safetensors(
+                str(source), self.lora, self.bundle.lora.rank
+            )
+            name = str(source)
+        else:
+            new, name = source, "<tree>"
+        old_s = jax.tree_util.tree_structure(self.lora)
+        new_s = jax.tree_util.tree_structure(new)
+        if old_s != new_s:
+            raise ValueError(f"lora tree structure mismatch: {new_s} != {old_s}")
+        mismatched = [
+            (a.shape, b.shape)
+            for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(self.lora))
+            if a.shape != b.shape
+        ]
+        if mismatched:
+            raise ValueError(f"lora leaf shape mismatch (would recompile): {mismatched[:3]}")
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            new = replicate(new, self.mesh)
+        with self._lock:  # never swap mid-batch
+            self.lora = new
+            self.lora_source = name
+            self.stats["lora_swaps"] += 1
 
     def _init_noise(self, seeds: Sequence[int]) -> jnp.ndarray:
         keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])

@@ -11,6 +11,9 @@ API:
   GET  /stats      -> latency percentiles, throughput, batch occupancy
   POST /generate   {"prompt": str, "seed": int?}  -> {"image_b64": png,
                     "batch_size": n, "latency_ms": t}
+  POST /lora       {"path": str}  -> hot-swap the LoRA adapter (kohya
+                    safetensors) without recompiling; in-flight batches
+                    finish on the old weights
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ import base64
 import collections
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -175,6 +179,23 @@ class BatchingServer:
                     self._json(404, {"error": "unknown path"})
 
             def do_POST(self):
+                if self.path == "/lora":
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(length) or b"{}")
+                        path = req["path"]
+                        if not os.path.isfile(path):
+                            raise FileNotFoundError(path)
+                        outer.engine.load_lora(path)
+                    except Exception as e:
+                        self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    self._json(200, {
+                        "ok": True,
+                        "lora": outer.engine.lora_source,
+                        "swaps": outer.engine.stats["lora_swaps"],
+                    })
+                    return
                 if self.path != "/generate":
                     self._json(404, {"error": "unknown path"})
                     return

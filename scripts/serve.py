@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--stochastic", action="store_true",
                     help="SD3: PCM-FM stochastic sampler")
     ap.add_argument("--tiny", action="store_true", help="tiny-model smoke mode")
+    ap.add_argument("--enable-lora-swap", action="store_true",
+                    help="without --lora: start with a no-op adapter so "
+                         "POST /lora can hot-swap kohya weights later "
+                         "without recompiling")
     ap.add_argument("--data-parallel", type=int, default=1,
                     help="shard each serving batch over this many devices "
                          "(batch-size must divide by it); 1 = single chip")
@@ -85,6 +89,10 @@ def main():
         from pcm_tpu.lora.kohya import load_kohya_safetensors
 
         lora, _ = load_kohya_safetensors(args.lora, lora_template, bundle.lora.rank)
+    elif args.enable_lora_swap:
+        # zero-init template = no-op adapter (b=0); keeps the compiled graph's
+        # pytree structure stable so POST /lora can swap without a recompile
+        lora = lora_template
 
     if args.family == "sd3":
         sampler = PCMFMSampler.create(

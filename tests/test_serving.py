@@ -268,6 +268,96 @@ def test_serve_cli_tiny(tmp_path, extra_args, n_virtual_devices):
         proc.wait(timeout=30)
 
 
+def _tiny_lora_engine(batch_size=2):
+    """Tiny SD1.5 engine built WITH a zero-init adapter tree (hot-swappable)."""
+    text_cfg = CLIPTextConfig(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora_template = bundle.init(jax.random.PRNGKey(0), 32)
+    sampler = DDIMSampler.create(make_ddpm_schedule(), 2)
+    toks = {"input_ids": HashTokenizer(quiet=True)}
+    engine = InferenceEngine(
+        bundle, sampler, frozen, lora_template, toks,
+        EngineConfig(batch_size=batch_size, latent_hw=16, resolution=32),
+    )
+    return engine, lora_template
+
+
+def test_lora_hot_swap(tmp_path):
+    """Swapping a kohya adapter into a template-built engine changes the
+    output without recompiling, and matches an engine built directly with
+    the same adapter; lora=None engines reject swaps."""
+    from pcm_tpu.lora.kohya import save_kohya_safetensors
+
+    engine, template = _tiny_lora_engine()
+    base = engine.generate_batch(["swap test"], [5])
+
+    # a real (non-zero) adapter: perturb every leaf deterministically
+    trained = jax.tree.map(
+        lambda x: 0.05 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(x.shape)) % 2**31), x.shape, jnp.float32
+        ),
+        template,
+    )
+    path = str(tmp_path / "adapter.safetensors")
+    save_kohya_safetensors(path, trained, alpha=4.0, dtype=np.float32)
+
+    engine.load_lora(path)
+    assert engine.stats["lora_swaps"] == 1 and engine.lora_source == path
+    swapped = engine.generate_batch(["swap test"], [5])
+    assert np.any(swapped != base), "adapter swap had no effect"
+
+    # reference: engine constructed directly with the loaded tree
+    direct, _ = _tiny_lora_engine()
+    direct.load_lora(jax.tree.map(lambda x: jnp.asarray(x), engine.lora))
+    np.testing.assert_array_equal(
+        direct.generate_batch(["swap test"], [5]), swapped
+    )
+
+    # no-adapter engines cannot swap (structure change = recompile)
+    bare = _tiny_engine(batch_size=2)
+    with pytest.raises(ValueError, match="without a LoRA tree"):
+        bare.load_lora(path)
+    # shape mismatch is rejected before it can trigger a silent recompile
+    bad = jax.tree.map(lambda x: jnp.zeros(x.shape + (1,), x.dtype), template)
+    with pytest.raises(ValueError, match="structure|shape"):
+        engine.load_lora(bad)
+
+
+def test_http_lora_endpoint(tmp_path):
+    from pcm_tpu.lora.kohya import save_kohya_safetensors
+
+    engine, template = _tiny_lora_engine()
+    path = str(tmp_path / "adapter.safetensors")
+    save_kohya_safetensors(path, template, alpha=4.0, dtype=np.float32)
+    server = BatchingServer(engine, port=0, max_wait_ms=10.0)
+    server.start()
+    host, port = server.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/lora",
+        data=json.dumps({"path": path}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        out = json.loads(r.read())
+    assert out["ok"] and out["swaps"] == 1 and out["lora"] == path
+
+    # missing file -> 400, not a crashed server
+    req = urllib.request.Request(
+        f"http://{host}:{port}/lora",
+        data=json.dumps({"path": str(tmp_path / "nope.safetensors")}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    server.stop()
+
+
 def test_http_server_bad_request(shared_engine):
     server = BatchingServer(shared_engine, port=0, max_wait_ms=10.0)
     server.start()
