@@ -21,6 +21,36 @@ def test_env_override(monkeypatch, tmp_path):
     assert cachedirs.compile_cache_dir() == str(tmp_path / "jax_cache")
 
 
+def test_backup_fallback_and_mirror(monkeypatch, tmp_path):
+    """Empty primary + populated /tmp mirror -> resolve to the mirror;
+    mirror_to_backup links primary content into the mirror."""
+    primary = tmp_path / "primary"
+    backup = tmp_path / "backup"
+    monkeypatch.setenv("PCM_CACHE_DIR", str(primary))
+    monkeypatch.setattr(cachedirs, "BACKUP_ROOT", str(backup))
+
+    # nothing anywhere -> primary path (to be created by setup)
+    assert cachedirs.compile_cache_dir() == str(primary / "jax_cache")
+
+    # mirror has content, primary empty -> fall back to the mirror
+    (backup / "jax_cache").mkdir(parents=True)
+    (backup / "jax_cache" / "entry").write_bytes(b"x")
+    assert cachedirs.compile_cache_dir() == str(backup / "jax_cache")
+
+    # primary gains content -> primary wins again
+    (primary / "jax_cache").mkdir(parents=True)
+    (primary / "jax_cache" / "entry2").write_bytes(b"y")
+    assert cachedirs.compile_cache_dir() == str(primary / "jax_cache")
+
+    # mirroring links the primary entry into the backup without clobbering
+    (primary / "pcm_tree_cache" / "k").mkdir(parents=True)
+    (primary / "pcm_tree_cache" / "k" / "leaf.npy").write_bytes(b"z")
+    cachedirs.mirror_to_backup()
+    assert (backup / "jax_cache" / "entry2").read_bytes() == b"y"
+    assert (backup / "pcm_tree_cache" / "k" / "leaf.npy").read_bytes() == b"z"
+    assert (backup / "jax_cache" / "entry").exists()  # untouched
+
+
 def test_setup_compile_cache_points_jax_at_dir(monkeypatch, tmp_path):
     import jax
 
