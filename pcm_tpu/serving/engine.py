@@ -96,6 +96,7 @@ class InferenceEngine:
         self.frozen = frozen
         self.lora = lora
         self.lora_source: Optional[str] = None
+        self.adapters: Dict[str, Any] = {}  # named adapters (per-request routing)
         self.pipe = TextToImagePipeline(bundle, sampler)
         self._encode = make_prompt_encoder(bundle, toks, cfg.resolution, frozen)
         self._lock = threading.Lock()  # one device executor
@@ -121,17 +122,10 @@ class InferenceEngine:
 
         self._gen = jax.jit(_gen)
 
-    def load_lora(self, source: Union[str, os.PathLike, Any]) -> None:
-        """Hot-swap the LoRA adapter without recompiling.
-
-        The compiled graph takes the adapter tree as an ARGUMENT, so a swap is
-        a host→device transfer — serving traffic resumes on the next batch with
-        the new weights. ``source`` is a kohya-format ``.safetensors`` path or
-        an already-shaped lora tree. The engine must have been constructed with
-        an adapter tree (a zero-init template acts as a no-op adapter, LoRA
-        ``b=0``): going from ``lora=None`` to a tree changes the pytree
-        structure and would force a full recompile, so that is rejected.
-        """
+    def _load_tree(self, source: Union[str, os.PathLike, Any]):
+        """Kohya path / tree -> device-ready lora tree shaped like the compiled
+        graph's adapter argument; rejects anything that would force a
+        recompile (structure or leaf-shape change)."""
         if self.lora is None:
             raise ValueError(
                 "engine was built without a LoRA tree; construct it with the "
@@ -161,10 +155,37 @@ class InferenceEngine:
             from ..parallel.mesh import replicate
 
             new = replicate(new, self.mesh)
+        return new, name
+
+    def load_lora(self, source: Union[str, os.PathLike, Any]) -> None:
+        """Hot-swap the default LoRA adapter without recompiling.
+
+        The compiled graph takes the adapter tree as an ARGUMENT, so a swap is
+        a host→device transfer — serving traffic resumes on the next batch with
+        the new weights. ``source`` is a kohya-format ``.safetensors`` path or
+        an already-shaped lora tree. The engine must have been constructed with
+        an adapter tree (a zero-init template acts as a no-op adapter, LoRA
+        ``b=0``): going from ``lora=None`` to a tree changes the pytree
+        structure and would force a full recompile, so that is rejected.
+        """
+        new, name = self._load_tree(source)
         with self._lock:  # never swap mid-batch
             self.lora = new
             self.lora_source = name
             self.stats["lora_swaps"] += 1
+
+    def register_adapter(self, name: str, source: Union[str, os.PathLike, Any]) -> None:
+        """Register a named adapter for per-request selection (multi-tenant
+        serving: one compiled graph, many adapters — requests pick one and the
+        dispatcher batches per adapter). Same no-recompile checks as
+        ``load_lora``."""
+        new, _ = self._load_tree(source)
+        with self._lock:
+            self.adapters[name] = new
+
+    @property
+    def adapter_names(self) -> List[str]:
+        return sorted(self.adapters)
 
     def _init_noise(self, seeds: Sequence[int]) -> jnp.ndarray:
         keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
@@ -173,8 +194,14 @@ class InferenceEngine:
         )(keys)
 
     def generate_batch(
-        self, prompts: Sequence[str], seeds: Sequence[int]
+        self,
+        prompts: Sequence[str],
+        seeds: Sequence[int],
+        adapter: Optional[str] = None,
     ) -> np.ndarray:
+        """``adapter``: a name registered via ``register_adapter`` — the whole
+        device batch runs with that adapter (the dispatcher groups requests by
+        adapter); None = the engine's default ``lora``."""
         assert len(prompts) == len(seeds) != 0
         n, b = len(prompts), self.cfg.batch_size
         assert n <= b, f"batch of {n} exceeds engine batch_size {b}"
@@ -182,6 +209,10 @@ class InferenceEngine:
         prompts = list(prompts) + [prompts[-1]] * pad
         seeds = list(seeds) + [seeds[-1]] * pad
         with self._lock:
+            if adapter is not None and adapter not in self.adapters:
+                raise KeyError(
+                    f"unknown adapter {adapter!r}; registered: {self.adapter_names}")
+            lora = self.adapters[adapter] if adapter is not None else self.lora
             cond = self._encode(prompts)
             init = self._init_noise(seeds)
             if self.mesh is not None:
@@ -193,7 +224,7 @@ class InferenceEngine:
             # fold the batch seeds so those runs are still deterministic per
             # (batch composition, seeds)
             rng = jax.random.PRNGKey(int(seeds[0]) & 0x7FFFFFFF)
-            imgs = self._gen(self.frozen, self.lora, cond, rng, init)
+            imgs = self._gen(self.frozen, lora, cond, rng, init)
             out = np.asarray(imgs[:n], np.float32)
             self.stats["requests"] += n
             self.stats["batches"] += 1

@@ -9,11 +9,15 @@ over per-request dispatch).
 API:
   GET  /healthz    -> {"ok": true, "stats": {...}}
   GET  /stats      -> latency percentiles, throughput, batch occupancy
-  POST /generate   {"prompt": str, "seed": int?}  -> {"image_b64": png,
-                    "batch_size": n, "latency_ms": t}
-  POST /lora       {"path": str}  -> hot-swap the LoRA adapter (kohya
-                    safetensors) without recompiling; in-flight batches
-                    finish on the old weights
+  POST /generate   {"prompt": str, "seed": int?, "adapter": str?}
+                   -> {"image_b64": png, "batch_size": n, "latency_ms": t};
+                   "adapter" picks a registered named adapter — the
+                   dispatcher groups same-adapter requests into one batch
+  POST /lora       {"path": str, "name": str?}  -> without "name": hot-swap
+                    the default LoRA adapter (kohya safetensors) without
+                    recompiling (in-flight batches finish on the old
+                    weights); with "name": register it for per-request
+                    "adapter" routing (multi-tenant serving)
 """
 
 from __future__ import annotations
@@ -34,11 +38,12 @@ from .engine import InferenceEngine
 
 
 class _Pending:
-    __slots__ = ("prompt", "seed", "future", "t0")
+    __slots__ = ("prompt", "seed", "adapter", "future", "t0")
 
-    def __init__(self, prompt: str, seed: int):
+    def __init__(self, prompt: str, seed: int, adapter: Optional[str] = None):
         self.prompt = prompt
         self.seed = seed
+        self.adapter = adapter
         self.future: Future = Future()
         self.t0 = time.monotonic()
 
@@ -87,31 +92,40 @@ class BatchingServer:
     # -- batching core ------------------------------------------------------
 
     def _dispatch_loop(self) -> None:
+        """Coalesce requests into device batches, grouped by adapter: a batch
+        runs one adapter, so requests for different adapters ride different
+        batches. A bucket dispatches when full, or when its oldest request's
+        ``max_wait`` window expires (FIFO across buckets — a minority-adapter
+        request can't starve behind a busy default stream)."""
         b = self.engine.cfg.batch_size
+        buckets: "dict[Optional[str], list]" = {}
         while True:
-            first = self._queue.get()
-            if first is None:
-                return
-            batch = [first]
-            deadline = time.monotonic() + self.max_wait_s
-            while len(batch) < b:
-                timeout = deadline - time.monotonic()
+            timeout = None
+            if buckets:
+                oldest = min(bk[0].t0 for bk in buckets.values())
+                timeout = oldest + self.max_wait_s - time.monotonic()
                 if timeout <= 0:
-                    break
-                try:
-                    nxt = self._queue.get(timeout=timeout)
-                except queue.Empty:
-                    break
-                if nxt is None:
+                    # flush the bucket whose head has waited longest
+                    name = min(buckets, key=lambda k: buckets[k][0].t0)
+                    self._run(buckets.pop(name))
+                    continue
+            try:
+                nxt = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                continue  # re-check deadlines
+            if nxt is None:
+                for batch in buckets.values():  # shutdown: flush everything
                     self._run(batch)
-                    return
-                batch.append(nxt)
-            self._run(batch)
+                return
+            buckets.setdefault(nxt.adapter, []).append(nxt)
+            if len(buckets[nxt.adapter]) >= b:
+                self._run(buckets.pop(nxt.adapter))
 
     def _run(self, batch) -> None:
         try:
             imgs = self.engine.generate_batch(
-                [p.prompt for p in batch], [p.seed for p in batch]
+                [p.prompt for p in batch], [p.seed for p in batch],
+                adapter=batch[0].adapter,
             )
             done = time.monotonic()
             for p, img in zip(batch, imgs):
@@ -186,13 +200,18 @@ class BatchingServer:
                         path = req["path"]
                         if not os.path.isfile(path):
                             raise FileNotFoundError(path)
-                        outer.engine.load_lora(path)
+                        name = req.get("name")
+                        if name is not None:  # register for per-request routing
+                            outer.engine.register_adapter(name, path)
+                        else:  # swap the default adapter
+                            outer.engine.load_lora(path)
                     except Exception as e:
                         self._json(400, {"error": f"{type(e).__name__}: {e}"})
                         return
                     self._json(200, {
                         "ok": True,
                         "lora": outer.engine.lora_source,
+                        "adapters": outer.engine.adapter_names,
                         "swaps": outer.engine.stats["lora_swaps"],
                     })
                     return
@@ -204,10 +223,13 @@ class BatchingServer:
                     req = json.loads(self.rfile.read(length) or b"{}")
                     prompt = req["prompt"]
                     seed = int(req.get("seed", 0))
+                    adapter = req.get("adapter")
+                    if adapter is not None and adapter not in outer.engine.adapters:
+                        raise KeyError(f"unknown adapter {adapter!r}")
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
                     return
-                pending = _Pending(prompt, seed)
+                pending = _Pending(prompt, seed, adapter)
                 outer._queue.put(pending)
                 try:
                     img, bsz = pending.future.result(timeout=600)

@@ -358,6 +358,75 @@ def test_http_lora_endpoint(tmp_path):
     server.stop()
 
 
+def test_multi_adapter_routing(tmp_path):
+    """Named adapters: per-request selection returns the same images as a
+    default-swap to that adapter; the HTTP dispatcher batches per adapter
+    and rejects unknown names."""
+    from pcm_tpu.lora.kohya import save_kohya_safetensors
+
+    engine, template = _tiny_lora_engine(batch_size=2)
+    trained = jax.tree.map(
+        lambda x: 0.1 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(x.shape)) % 2**31), x.shape, jnp.float32
+        ),
+        template,
+    )
+    path = str(tmp_path / "styleA.safetensors")
+    save_kohya_safetensors(path, trained, alpha=4.0, dtype=np.float32)
+    engine.register_adapter("styleA", path)
+    assert engine.adapter_names == ["styleA"]
+
+    base = engine.generate_batch(["routing"], [3])
+    via_name = engine.generate_batch(["routing"], [3], adapter="styleA")
+    assert np.any(via_name != base)
+    engine.load_lora(path)  # default-swap to the same weights
+    np.testing.assert_array_equal(
+        engine.generate_batch(["routing"], [3]), via_name
+    )
+    with pytest.raises(KeyError, match="unknown adapter"):
+        engine.generate_batch(["x"], [0], adapter="nope")
+
+    # HTTP: register via POST /lora {"name": ...}, route via "adapter",
+    # and concurrent mixed-adapter requests ride separate device batches
+    server = BatchingServer(engine, port=0, max_wait_ms=1500.0)
+    server.start()
+    host, port = server.address
+    url = f"http://{host}:{port}"
+
+    def post(payload, out, key):
+        req = urllib.request.Request(
+            url + "/lora" if "path" in payload else url + "/generate",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out[key] = json.loads(r.read())
+
+    out = {}
+    post({"path": path, "name": "styleB"}, out, "reg")
+    assert out["reg"]["ok"] and "styleB" in out["reg"]["adapters"]
+
+    threads = [
+        threading.Thread(target=post, args=({"prompt": "p", "seed": 3}, out, "default")),
+        threading.Thread(
+            target=post, args=({"prompt": "p", "seed": 3, "adapter": "styleB"}, out, "b")
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # different adapters cannot share a device batch
+    assert out["default"]["batch_size"] == 1 and out["b"]["batch_size"] == 1
+    # styleB == the default (both hold `trained` after the load_lora above)
+    assert out["b"]["image_b64"] == out["default"]["image_b64"]
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        post({"prompt": "p", "adapter": "ghost"}, out, "ghost")
+    assert ei.value.code == 400
+    server.stop()
+
+
 def test_http_server_bad_request(shared_engine):
     server = BatchingServer(shared_engine, port=0, max_wait_ms=10.0)
     server.start()
