@@ -37,11 +37,30 @@ A800_PEAK_FLOPS = 312e12
 REF_ASSUMED_MFU = 0.20  # see module docstring
 
 
-def _init_weights(bundle, family: str, lora_rank: int, weights: str):
-    """Build (or disk-cache-load) the frozen+LoRA param trees and push them to
-    the chip. Round 1's driver bench timed out on 1607 s of host init
-    (numpy fill + CPU quantize); the treecache makes warm runs load in
-    seconds (VERDICT.md round-1 item #1)."""
+def _init_weights(bundle, family: str, lora_rank: int, weights: str,
+                  init: str = "device"):
+    """Materialize the frozen+LoRA param trees on the chip.
+
+    init="device" (default off-CPU): generate the fan-in-scaled random trees
+    directly on the TPU as one cached XLA program (utils/deviceinit.py) — no
+    host->device transfer at all. Round 1's driver bench timed out on 1607 s
+    of host init; round 2's treecache cut the build to 8 s but still paid
+    424 s pushing ~4 GiB through the ~25 MB/s axon tunnel.
+
+    init="cache": the round-2 path — host treecache (npy leaves + pickled
+    treedef, memmap load) + device_put. Kept for the CPU backend (where
+    there is no transfer and the memmap load wins) and as a fallback."""
+    if init == "device" and jax.default_backend() != "cpu":
+        import time as _time
+
+        from pcm_tpu.utils.deviceinit import device_init
+
+        t0 = _time.time()
+        frozen, lora = device_init(bundle, seed=0, weights=weights)
+        jax.block_until_ready(jax.tree_util.tree_leaves(lora)[:1])
+        print(f"# device init (no transfer): {_time.time()-t0:.1f}s",
+              file=sys.stderr)
+        return frozen, lora
     from pcm_tpu.utils.treecache import load_or_build
 
     def build_trees():
@@ -89,7 +108,8 @@ def _bench_cond(bundle, family, frozen, batch):
 
 
 def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str = "dots",
-          adam: str = "8bit", weights: str = "bf16", mode: str = "train"):
+          adam: str = "8bit", weights: str = "bf16", mode: str = "train",
+          init: str = "device"):
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.train.distill import (
@@ -139,7 +159,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
     # 197M LoRA params cost 1.57G HBM and push the 1024px step out of memory
     tx = make_optimizer(2e-6, use_8bit=(adam == "8bit"))
     t0 = time.time()
-    frozen, lora = _init_weights(bundle, family, lora_rank, weights)
+    frozen, lora = _init_weights(bundle, family, lora_rank, weights, init)
     print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
     state = TrainState.create(lora, tx)
     builder = build_flow_distill_step if family == "sd3" else build_ddim_distill_step
@@ -219,7 +239,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
 
 
 def build_infer(family: str, resolution: int, batch: int, steps: int,
-                decode_chunk=None, weights: str = "bf16"):
+                decode_chunk=None, weights: str = "bf16", init: str = "device"):
     """2-step (or k-step) generation throughput: k student forwards + VAE
     decode through TextToImagePipeline — the deployment path (BASELINE.json
     '2-step images/sec'). LoRA B factors are zero at random init, so the
@@ -233,7 +253,7 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
     else:
         bundle = (sdxl_bundle if family == "sdxl" else sd15_bundle)(remat=False)
     default_rank = 32 if family == "sd3" else 64
-    frozen, lora = _init_weights(bundle, family, default_rank, weights)
+    frozen, lora = _init_weights(bundle, family, default_rank, weights, init)
 
     if family == "sd3":
         # ref validation scheduler: PCMFMDeterministicScheduler(1000, 3.0, 100)
@@ -297,6 +317,10 @@ def main():
                     help="frozen-weight storage; int8 = weight-only quantized "
                          "kernels (per-channel scales), VAE stays bf16")
     ap.add_argument("--mode", default="train", choices=["train", "infer", "adv"])
+    ap.add_argument("--init", default="device", choices=["device", "cache"],
+                    help="weight materialization: on-device generation (no "
+                         "host->device transfer; default, CPU backend always "
+                         "uses cache) or the host treecache + device_put path")
     ap.add_argument("--int8-matmul", nargs="?", const="both", default=None,
                     choices=["dense", "conv", "both", "fused"],
                     help="compute QTensor-weighted matmuls/convs on the int8 "
@@ -319,7 +343,7 @@ def main():
 
     bundle, frozen, state, step, batch = build(
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
-        args.weights, args.mode,
+        args.weights, args.mode, args.init,
     )
     if args.mode == "adv":
         return main_adv(args, frozen, state, step, batch)
@@ -500,7 +524,7 @@ def _adv_g_only(args, cg, g_state, d_state, frozen, batch, rng):
 def main_infer(args):
     frozen, lora, cond, run = build_infer(
         args.family, args.resolution, args.batch, args.steps, args.decode_chunk,
-        args.weights,
+        args.weights, args.init,
     )
     t0 = time.time()
     jrun = jax.jit(run)

@@ -33,15 +33,35 @@ def cache_root() -> str:
 
 
 def _resolve(subdir: str) -> str:
-    """Primary location for ``subdir``, falling back to the /tmp mirror when
-    the primary is empty but the mirror has content (repo was cleaned)."""
+    """Always the repo-local primary. If the primary is empty but the /tmp
+    mirror has content (repo was cleaned while /tmp survived), promote the
+    mirror's entries into the primary first — the primary stays the single
+    write target, so new cache entries never accumulate in the volatile
+    location this module exists to escape."""
     primary = os.path.join(cache_root(), subdir)
-    if _has_content(primary):
-        return primary
     backup = os.path.join(BACKUP_ROOT, subdir)
-    if _has_content(backup):
-        return backup
+    if not _has_content(primary) and _has_content(backup):
+        _link_tree(backup, primary)
     return primary
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link (fall back to copy) src's contents into dst, keeping
+    whatever dst already has."""
+    import shutil
+
+    for dirpath, _dirnames, filenames in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for name in filenames:
+            s, d = os.path.join(dirpath, name), os.path.join(out, name)
+            if os.path.exists(d):
+                continue
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 def compile_cache_dir() -> str:
@@ -66,22 +86,8 @@ def setup_compile_cache(min_compile_secs: int = 5) -> str:
 def mirror_to_backup() -> None:
     """Hard-link (fall back to copy) the primary caches into the /tmp mirror.
     Cheap insurance run at the end of a session; safe to call repeatedly."""
-    import shutil
-
     for subdir in ("jax_cache", "pcm_tree_cache"):
         src = os.path.join(cache_root(), subdir)
         if not _has_content(src):
             continue
-        dst = os.path.join(BACKUP_ROOT, subdir)
-        for dirpath, _dirnames, filenames in os.walk(src):
-            rel = os.path.relpath(dirpath, src)
-            out = os.path.join(dst, rel) if rel != "." else dst
-            os.makedirs(out, exist_ok=True)
-            for name in filenames:
-                s, d = os.path.join(dirpath, name), os.path.join(out, name)
-                if os.path.exists(d):
-                    continue
-                try:
-                    os.link(s, d)
-                except OSError:
-                    shutil.copy2(s, d)
+        _link_tree(src, os.path.join(BACKUP_ROOT, subdir))

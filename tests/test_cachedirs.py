@@ -21,8 +21,10 @@ def test_env_override(monkeypatch, tmp_path):
     assert cachedirs.compile_cache_dir() == str(tmp_path / "jax_cache")
 
 
-def test_backup_fallback_and_mirror(monkeypatch, tmp_path):
-    """Empty primary + populated /tmp mirror -> resolve to the mirror;
+def test_backup_promotion_and_mirror(monkeypatch, tmp_path):
+    """Empty primary + populated /tmp mirror -> mirror entries are PROMOTED
+    into the primary, which stays the single write target (ADVICE round-2:
+    returning the mirror made new entries accumulate in volatile /tmp);
     mirror_to_backup links primary content into the mirror."""
     primary = tmp_path / "primary"
     backup = tmp_path / "backup"
@@ -32,13 +34,13 @@ def test_backup_fallback_and_mirror(monkeypatch, tmp_path):
     # nothing anywhere -> primary path (to be created by setup)
     assert cachedirs.compile_cache_dir() == str(primary / "jax_cache")
 
-    # mirror has content, primary empty -> fall back to the mirror
+    # mirror has content, primary empty -> primary, with the entry promoted
     (backup / "jax_cache").mkdir(parents=True)
     (backup / "jax_cache" / "entry").write_bytes(b"x")
-    assert cachedirs.compile_cache_dir() == str(backup / "jax_cache")
+    assert cachedirs.compile_cache_dir() == str(primary / "jax_cache")
+    assert (primary / "jax_cache" / "entry").read_bytes() == b"x"
 
-    # primary gains content -> primary wins again
-    (primary / "jax_cache").mkdir(parents=True)
+    # primary gains content -> still primary
     (primary / "jax_cache" / "entry2").write_bytes(b"y")
     assert cachedirs.compile_cache_dir() == str(primary / "jax_cache")
 
