@@ -321,14 +321,18 @@ def main():
                     help="weight materialization: on-device generation (no "
                          "host->device transfer; default, CPU backend always "
                          "uses cache) or the host treecache + device_put path")
-    ap.add_argument("--int8-matmul", nargs="?", const="both", default=None,
-                    choices=["dense", "conv", "both", "fused"],
-                    help="compute QTensor-weighted matmuls/convs on the int8 "
+    ap.add_argument("--int8-matmul", nargs="?", const="fused", default=None,
+                    choices=["dense", "fused"],
+                    help="compute QTensor-weighted dense matmuls on the int8 "
                          "MXU path (activation quantization; pair with "
-                         "--weights int8). Optional value restricts to dense "
-                         "or conv ops only; 'fused' = dense via the Pallas "
-                         "kernel with in-VMEM activation quant "
-                         "(ops/int8_matmul.py), convs bf16")
+                         "--weights int8). 'fused' (default value) = the "
+                         "Pallas kernel with in-VMEM activation quant "
+                         "(ops/int8_matmul.py) incl. pointwise convs; "
+                         "'dense' = the XLA int8 dot. The spatial-conv int8 "
+                         "path ('conv'/'both') is bisect-only — 30x "
+                         "pathological in full graphs (docs/PERF.md, "
+                         "scripts/repro_int8_conv.py) — and no longer "
+                         "exposed here")
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     ap.add_argument("--d-graph", default="mono", choices=["mono", "split"],
                     help="adv mode: compile the D step monolithically or as "

@@ -134,9 +134,25 @@ class InferenceEngine:
         if isinstance(source, (str, os.PathLike)):
             from ..lora.kohya import load_kohya_safetensors
 
-            new, _ = load_kohya_safetensors(
-                str(source), self.lora, self.bundle.lora.rank
+            spec = self.bundle.lora
+            new, file_alpha = load_kohya_safetensors(
+                str(source), self.lora, spec.rank
             )
+            # LoRASpec.scale is baked into the compiled graph; a file whose
+            # alpha differs would be applied at the wrong strength with no
+            # recompile to honor it — warn loudly rather than silently misscale
+            eff_alpha = spec.alpha if spec.alpha is not None else spec.rank
+            if abs(file_alpha - eff_alpha) > 1e-6:
+                import warnings
+
+                warnings.warn(
+                    f"kohya file alpha={file_alpha} != compiled graph alpha="
+                    f"{eff_alpha} (LoRASpec.scale is baked into the jitted "
+                    f"graph); adapter will run at {eff_alpha / max(file_alpha, 1e-9):.3g}x "
+                    "its intended strength. Rescale the file or rebuild the "
+                    "engine with a matching LoRASpec.alpha.",
+                    stacklevel=3,
+                )
             name = str(source)
         else:
             new, name = source, "<tree>"
@@ -145,12 +161,13 @@ class InferenceEngine:
         if old_s != new_s:
             raise ValueError(f"lora tree structure mismatch: {new_s} != {old_s}")
         mismatched = [
-            (a.shape, b.shape)
+            (a.shape, a.dtype, b.shape, b.dtype)
             for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(self.lora))
-            if a.shape != b.shape
+            if a.shape != b.shape or a.dtype != b.dtype
         ]
         if mismatched:
-            raise ValueError(f"lora leaf shape mismatch (would recompile): {mismatched[:3]}")
+            raise ValueError(
+                f"lora leaf shape/dtype mismatch (would recompile): {mismatched[:3]}")
         if self.mesh is not None:
             from ..parallel.mesh import replicate
 
@@ -182,6 +199,15 @@ class InferenceEngine:
         new, _ = self._load_tree(source)
         with self._lock:
             self.adapters[name] = new
+
+    def unregister_adapter(self, name: str) -> None:
+        """Drop a named adapter, releasing its device buffers (each registered
+        adapter pins a full f32 LoRA tree in HBM until unregistered)."""
+        with self._lock:
+            if name not in self.adapters:
+                raise KeyError(
+                    f"unknown adapter {name!r}; registered: {self.adapter_names}")
+            del self.adapters[name]
 
     @property
     def adapter_names(self) -> List[str]:

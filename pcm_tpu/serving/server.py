@@ -18,6 +18,7 @@ API:
                     recompiling (in-flight batches finish on the old
                     weights); with "name": register it for per-request
                     "adapter" routing (multi-tenant serving)
+  DELETE /lora/<name>  -> unregister a named adapter (frees its HBM)
 """
 
 from __future__ import annotations
@@ -192,6 +193,21 @@ class BatchingServer:
                 else:
                     self._json(404, {"error": "unknown path"})
 
+            def do_DELETE(self):
+                # DELETE /lora/<name>: unregister a named adapter (frees the
+                # full f32 LoRA tree it pins in HBM)
+                if self.path.startswith("/lora/"):
+                    name = self.path[len("/lora/"):]
+                    try:
+                        outer.engine.unregister_adapter(name)
+                    except KeyError as e:
+                        self._json(404, {"error": f"{e}"})
+                        return
+                    self._json(200, {"ok": True,
+                                     "adapters": outer.engine.adapter_names})
+                    return
+                self._json(404, {"error": "unknown path"})
+
             def do_POST(self):
                 if self.path == "/lora":
                     try:
@@ -205,8 +221,17 @@ class BatchingServer:
                             outer.engine.register_adapter(name, path)
                         else:  # swap the default adapter
                             outer.engine.load_lora(path)
-                    except Exception as e:
+                    except (ValueError, KeyError, FileNotFoundError,
+                            json.JSONDecodeError) as e:
+                        # client errors: bad payload, unknown file, or a tree
+                        # that would force a recompile
                         self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    except Exception as e:
+                        # genuine server-side failures (device OOM while
+                        # replicating the adapter, loader bugs) are not the
+                        # client's fault
+                        self._json(500, {"error": f"{type(e).__name__}: {e}"})
                         return
                     self._json(200, {
                         "ok": True,

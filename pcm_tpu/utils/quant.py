@@ -157,6 +157,20 @@ def int8_matmul(enable: bool = True, which: str = "both"):
     dequantized bf16 path."""
     if which not in ("dense", "conv", "both", "fused"):
         raise ValueError(which)
+    if enable and which in ("conv", "both"):
+        # Known-broken in full train graphs: XLA schedules the unfused
+        # activation-quant HBM pass around spatial int8 convs so poorly that
+        # the SDXL step regressed 30x (docs/PERF.md "int8 MXU compute";
+        # minimal repro: scripts/repro_int8_conv.py). Kept only for
+        # bisection/microbenchmarks — production paths are "dense"/"fused".
+        import warnings
+
+        warnings.warn(
+            f"int8_matmul(which={which!r}) routes SPATIAL convs through the "
+            "unfused int8 path — pathological in full train graphs (30x on "
+            "SDXL-1024, docs/PERF.md); use 'dense' or 'fused' for real runs",
+            stacklevel=3,
+        )
     tok = _INT8_MATMUL.set(which if enable else False)
     try:
         yield

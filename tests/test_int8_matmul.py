@@ -83,10 +83,14 @@ def test_int8_matmul_which_scopes_op_class(monkeypatch):
     assert not int8_matmul_enabled("dense") and not int8_matmul_enabled("conv")
     with int8_matmul(which="dense"):
         assert int8_matmul_enabled("dense") and not int8_matmul_enabled("conv")
-    with int8_matmul(which="conv"):
-        assert int8_matmul_enabled("conv") and not int8_matmul_enabled("dense")
-    with int8_matmul(which="both"):
-        assert int8_matmul_enabled("dense") and int8_matmul_enabled("conv")
+    # the spatial-conv modes are bisect-only (30x full-graph pathology,
+    # docs/PERF.md) and warn loudly when entered
+    with pytest.warns(UserWarning, match="SPATIAL convs"):
+        with int8_matmul(which="conv"):
+            assert int8_matmul_enabled("conv") and not int8_matmul_enabled("dense")
+    with pytest.warns(UserWarning, match="SPATIAL convs"):
+        with int8_matmul(which="both"):
+            assert int8_matmul_enabled("dense") and int8_matmul_enabled("conv")
     with int8_matmul(enable=False):
         monkeypatch.setenv("PCM_INT8_MATMUL", "conv")  # context beats env
         assert not int8_matmul_enabled("conv")

@@ -328,6 +328,42 @@ def test_lora_hot_swap(tmp_path):
         engine.load_lora(bad)
 
 
+def test_lora_swap_guards(tmp_path):
+    """Advisor findings: a same-shape wrong-dtype tree must be rejected (it
+    would silently recompile the graph), a kohya file whose alpha differs
+    from the compiled LoRASpec scale must warn (scale is baked into the
+    jitted graph), and named adapters can be unregistered to release HBM."""
+    import warnings
+
+    from pcm_tpu.lora.kohya import save_kohya_safetensors
+
+    engine, template = _tiny_lora_engine()
+    # dtype-only mismatch (shapes identical)
+    bad_dtype = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), template)
+    with pytest.raises(ValueError, match="dtype"):
+        engine.load_lora(bad_dtype)
+
+    # alpha mismatch: spec is rank=4 alpha=None -> effective alpha 4
+    path = str(tmp_path / "alpha8.safetensors")
+    save_kohya_safetensors(path, template, alpha=8.0, dtype=np.float32)
+    with pytest.warns(UserWarning, match="alpha=8.0 != compiled graph alpha=4"):
+        engine.load_lora(path)
+    # matching alpha stays quiet
+    ok = str(tmp_path / "alpha4.safetensors")
+    save_kohya_safetensors(ok, template, alpha=4.0, dtype=np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        engine.load_lora(ok)
+
+    # unregister frees the slot; unknown names raise
+    engine.register_adapter("tmp", ok)
+    assert engine.adapter_names == ["tmp"]
+    engine.unregister_adapter("tmp")
+    assert engine.adapter_names == []
+    with pytest.raises(KeyError, match="unknown adapter"):
+        engine.unregister_adapter("tmp")
+
+
 def test_http_lora_endpoint(tmp_path):
     from pcm_tpu.lora.kohya import save_kohya_safetensors
 
@@ -424,6 +460,17 @@ def test_multi_adapter_routing(tmp_path):
     with pytest.raises(urllib.error.HTTPError) as ei:
         post({"prompt": "p", "adapter": "ghost"}, out, "ghost")
     assert ei.value.code == 400
+
+    # DELETE /lora/<name> unregisters; unknown names -> 404
+    req = urllib.request.Request(url + "/lora/styleB", method="DELETE")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["adapters"] == ["styleA"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            urllib.request.Request(url + "/lora/styleB", method="DELETE"),
+            timeout=30,
+        )
+    assert ei.value.code == 404
     server.stop()
 
 
