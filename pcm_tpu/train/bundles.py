@@ -391,7 +391,11 @@ def init_frozen_cpu(bundle, rng, cast_dtype=jnp.bfloat16):
     """
     from ..ops.common import reference_ops
 
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: under multi-process jax.distributed the
+    # first GLOBAL cpu device may belong to another process, and eager ops on
+    # arrays placed there raise "Cannot reshard an input that is not fully
+    # addressable" (observed in tests/test_multiprocess.py)
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu), reference_ops():
         frozen, lora = bundle.init(rng)
     if cast_dtype is not None:

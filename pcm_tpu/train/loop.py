@@ -78,12 +78,14 @@ class Trainer:
                 # d_step (adv.py:build_ddim_adv_d_split; the monolithic
                 # SDXL-1024 D graph can SIGKILL the remote compiler)
                 g_step, feats_fn, update_fn = adv_steps
-                jf = jax.jit(feats_fn)
-                ju = jax.jit(update_fn, donate_argnums=(0,))
+                # attributes (not closure locals) so _aot_warm can swap in
+                # AOT-compiled executables under multi-process
+                self._jf = jax.jit(feats_fn)
+                self._ju = jax.jit(update_fn, donate_argnums=(0,))
 
                 def d_step(g_state, d_state, frozen, batch, rng):
-                    fake_feats, real_feats = jf(g_state, d_state, frozen, batch, rng)
-                    return ju(d_state, fake_feats, real_feats)
+                    fake_feats, real_feats = self._jf(g_state, d_state, frozen, batch, rng)
+                    return self._ju(d_state, fake_feats, real_feats)
 
                 self._g_step = jax.jit(g_step, donate_argnums=(0,))
                 self._d_step = d_step
@@ -171,6 +173,37 @@ class Trainer:
 
         batches = prepped()
         lookahead: deque = deque()
+        if jax.process_count() > 1:
+            # AOT-compile every step variant on the first batch, THEN align
+            # processes: gloo's connect window (~30 s) opens at the first
+            # collective EXECUTION, and per-process jit-compile skew on a
+            # contended host exceeds it (observed Connect-timeout in
+            # tests/test_multiprocess.py without this). The compiled
+            # executables replace the jitted fns so the loop never recompiles.
+            from ..parallel.mesh import barrier
+
+            lookahead.append(next(batches))
+            b0 = lookahead[0]
+            if self.adversarial:
+                self._g_step = self._g_step.lower(
+                    self.g_state, self.d_state, self.frozen, b0, rng
+                ).compile()
+                # only the FIRST collective races the gloo connect window;
+                # once the context exists, later jit compiles (e.g. _ju)
+                # happen in lockstep at the collective that needs them
+                if hasattr(self, "_jf"):
+                    self._jf = self._jf.lower(
+                        self.g_state, self.d_state, self.frozen, b0, rng
+                    ).compile()
+                else:
+                    self._d_step = self._d_step.lower(
+                        self.g_state, self.d_state, self.frozen, b0, rng
+                    ).compile()
+            else:
+                self._step = self._step.lower(
+                    self.g_state, self.frozen, b0, rng
+                ).compile()
+            barrier("pcm_first_step")
         while self.global_step < cfg.max_train_steps and not self._stop_requested:
             while len(lookahead) <= max(prefetch, 0):
                 lookahead.append(next(batches))
@@ -231,6 +264,13 @@ class Trainer:
             self.logger.log(self.global_step, {"preempted": 1.0})
         self._save()
         self.ckpt.wait()
+        if jax.process_count() > 1:
+            # align exits: process-0-only tail work (kohya export, image
+            # logging) must not push process 0 past the coordination
+            # service's Shutdown-barrier window while the others exit
+            from ..parallel.mesh import barrier
+
+            barrier("pcm_run_done")
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
         return self.g_state, self.d_state

@@ -21,6 +21,15 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: Optional[int] = None, async_save: bool = True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        if jax.process_count() > 1:
+            # orbax's CheckpointManager init runs a cross-process sync that is
+            # a DEVICE allgather — on the CPU backend it is the first gloo
+            # collective of the program, and its ~30 s connect window loses to
+            # per-process setup skew (observed in tests/test_multiprocess.py).
+            # Align on the coordinator's KV store first.
+            from ..parallel.mesh import barrier
+
+            barrier("pcm_ckpt_mgr:" + self.directory)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             create=True,

@@ -95,7 +95,9 @@ def main():
         ap.error("one of --train-data-dir / --cached-latents-dir is required")
 
     if args.multihost:
-        jax.distributed.initialize()
+        from pcm_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
 
     use_remat = args.remat != "none"
     policy = args.remat if args.remat in ("dots", "dots_small") else None
@@ -231,12 +233,15 @@ def main():
         collate = make_collate(toks, res, sdxl=(recipe.family == "sdxl"))
     if jax.process_count() > 1:
         ds.files = shard_for_process(ds.files, jax.process_index(), jax.process_count())
-    global_batch = batch * accum * (n_dev if mesh is not None else 1)
-    loader = DataLoader(ds, global_batch, collate, num_workers=args.dataloader_workers,
+    # each process loads only its LOCAL rows; shard_batch assembles the
+    # global array (mesh.py:_put), so the loader batch is per-process
+    local_dev = jax.local_device_count() if mesh is not None else 1
+    proc_batch = batch * accum * local_dev
+    loader = DataLoader(ds, proc_batch, collate, num_workers=args.dataloader_workers,
                         seed=args.seed)
 
     # --- uncond embeds (precomputed once, ref sd15 train:1053-1059) ---
-    empty_ids = {k: jnp.asarray(toks[k]([""] * global_batch)) for k in tok_keys}
+    empty_ids = {k: jnp.asarray(toks[k]([""] * proc_batch)) for k in tok_keys}
     if recipe.family == "sd15":
         uncond = bundle.encode_prompts(frozen, empty_ids["input_ids"])
         extra = {"uncond_embeds": uncond["prompt_embeds"]}
