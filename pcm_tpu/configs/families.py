@@ -47,7 +47,8 @@ _TINY_T5 = T5Config(
 
 
 def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
-                remat_policy=None, remat_levels=None, tiny: bool = False) -> SD15Bundle:
+                remat_policy=None, remat_levels=None, tiny: bool = False,
+                vae_encode_chunk=None) -> SD15Bundle:
     return SD15Bundle(
         unet_cfg=TINY_UNET_CONFIG if tiny else SD15_CONFIG,
         vae_cfg=TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG,
@@ -57,11 +58,13 @@ def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
         remat=remat,
         remat_policy=remat_policy,
         remat_levels=remat_levels,
+        vae_encode_chunk=vae_encode_chunk,
     )
 
 
 def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
-                remat_policy=None, remat_levels=None, tiny: bool = False) -> SDXLBundle:
+                remat_policy=None, remat_levels=None, tiny: bool = False,
+                vae_encode_chunk=None) -> SDXLBundle:
     return SDXLBundle(
         unet_cfg=TINY_SDXL_CONFIG if tiny else SDXL_CONFIG,
         vae_cfg=TINY_VAE_CONFIG if tiny else SDXL_VAE_CONFIG,
@@ -72,12 +75,14 @@ def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
         remat=remat,
         remat_policy=remat_policy,
         remat_levels=remat_levels,
+        vae_encode_chunk=vae_encode_chunk,
     )
 
 
 def sd3_bundle(
     lora_rank: int = 32, dtype=jnp.bfloat16, remat: bool = True, adv_targets: bool = False,
     remat_policy=None, stochastic: bool = False, tiny: bool = False,
+    vae_encode_chunk=None,
 ) -> SD3Bundle:
     """``adv_targets`` extends LoRA to the reference's adversarial target list;
     ``stochastic`` additionally drops ``pos_embed.proj`` (the
@@ -97,6 +102,7 @@ def sd3_bundle(
         dtype=dtype,
         remat=remat,
         remat_policy=remat_policy,
+        vae_encode_chunk=vae_encode_chunk,
     )
 
 

@@ -63,6 +63,29 @@ def _decode_chunked(vae, params, latents, chunk: Optional[int]) -> jnp.ndarray:
     return ys.reshape(b, *ys.shape[2:])
 
 
+def _encode_chunked(vae, params, pixels, rng, chunk: Optional[int]) -> jnp.ndarray:
+    """VAE encode, optionally `lax.map`-ed over batch chunks (the reference
+    encodes in <=32-sample chunks for the same reason, sd15 train:1127-1135).
+
+    At 1024px the encoder's first conv materializes ~256M/sample temps
+    (bs4 full-step OOM'd on three 1.0G encoder buffers); chunking bounds peak
+    encoder memory at `chunk` samples for a negligible serialization cost —
+    encode is a tiny slice of the step."""
+    b = pixels.shape[0]
+    if not chunk or b <= chunk:
+        return vae.apply({"params": params}, pixels, rng, method=AutoencoderKL.encode)
+    if b % chunk:
+        raise ValueError(f"batch {b} not divisible by encode chunk {chunk}")
+    n = b // chunk
+    xs = pixels.reshape(n, chunk, *pixels.shape[1:])
+    keys = jax.random.split(rng, n)
+    ys = jax.lax.map(
+        lambda t: vae.apply({"params": params}, t[0], t[1], method=AutoencoderKL.encode),
+        (xs, keys),
+    )
+    return ys.reshape(b, *ys.shape[2:])
+
+
 @dataclasses.dataclass(frozen=True)
 class SD15Bundle:
     """SD1.5: single CLIP-L, last hidden state conditioning."""
@@ -75,6 +98,7 @@ class SD15Bundle:
     remat: bool = False
     remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
     remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
+    vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
 
     def __post_init__(self):
         object.__setattr__(
@@ -131,9 +155,9 @@ class SD15Bundle:
         if "latents" in batch:
             latents = batch["latents"]
         else:
-            latents = self._vae.apply(
-                {"params": frozen["vae"]}, batch["pixel_values"], rng,
-                method=AutoencoderKL.encode,
+            latents = _encode_chunked(
+                self._vae, frozen["vae"], batch["pixel_values"], rng,
+                self.vae_encode_chunk,
             )
             latents = jax.lax.stop_gradient(latents)
         cond = {"prompt_embeds": prompt_embeds, "added_cond": None}
@@ -173,6 +197,7 @@ class SDXLBundle:
     remat: bool = False
     remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
     remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
+    vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
 
     def __post_init__(self):
         object.__setattr__(
@@ -242,9 +267,9 @@ class SDXLBundle:
         if "latents" in batch:
             latents = batch["latents"]
         else:
-            latents = self._vae.apply(
-                {"params": frozen["vae"]}, batch["pixel_values"], rng,
-                method=AutoencoderKL.encode,
+            latents = _encode_chunked(
+                self._vae, frozen["vae"], batch["pixel_values"], rng,
+                self.vae_encode_chunk,
             )
             latents = jax.lax.stop_gradient(latents)
         cond = {
@@ -280,6 +305,7 @@ class SD3Bundle:
     dtype: Any = jnp.bfloat16
     remat: bool = False
     remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
+    vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
 
     def __post_init__(self):
         object.__setattr__(
@@ -350,9 +376,9 @@ class SD3Bundle:
             latents = batch["latents"]
         else:
             # SD3 keeps the VAE in fp32 (`train_pcm_lora_sd3.py:954`)
-            latents = self._vae.apply(
-                {"params": frozen["vae"]}, batch["pixel_values"], rng,
-                method=AutoencoderKL.encode,
+            latents = _encode_chunked(
+                self._vae, frozen["vae"], batch["pixel_values"], rng,
+                self.vae_encode_chunk,
             )
             latents = jax.lax.stop_gradient(latents)
         cond = {"prompt_embeds": prompt_embeds, "pooled": pooled}

@@ -76,6 +76,12 @@ def main():
                     help="int8 = store frozen teacher/text kernels as "
                          "weight-only quantized int8 (per-channel scales; VAE "
                          "stays bf16) — frees HBM for lighter --remat")
+    ap.add_argument("--vae-encode-chunk", type=int, default=None,
+                    help="VAE-encode this many samples at a time inside the "
+                         "jitted step (default: 1 at >=1024px when batch>1 - "
+                         "the encoder's first convs are the HBM peak there; "
+                         "0 disables). Mirrors the reference's chunked VAE "
+                         "encode (sd15 train:1127-1135).")
     ap.add_argument("--remat", default="full", choices=["full", "dots", "dots_small", "none"],
                     help="gradient checkpointing: full=min memory, dots/dots_small="
                          "keep (small) matmul outputs for a faster bwd, "
@@ -127,16 +133,19 @@ def main():
     max_steps = args.max_train_steps or recipe.max_steps
 
     # --- bundle + schedule ---
+    enc_chunk = args.vae_encode_chunk
+    if enc_chunk is None and res >= 1024 and batch > 1:
+        enc_chunk = 1  # encoder first-convs are the HBM peak (docs/PERF.md)
     if recipe.family == "sd15":
         bundle = sd15_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
-                             tiny=args.tiny)
+                             tiny=args.tiny, vae_encode_chunk=enc_chunk)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SD15_DISC_CONFIG
         tok_keys = ["input_ids"]
     elif recipe.family == "sdxl":
         bundle = sdxl_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
-                             tiny=args.tiny)
+                             tiny=args.tiny, vae_encode_chunk=enc_chunk)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SDXL_DISC_CONFIG
@@ -144,7 +153,8 @@ def main():
     else:
         bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial,
                             remat=use_remat, remat_policy=policy,
-                            stochastic=recipe.stochastic, tiny=args.tiny)
+                            stochastic=recipe.stochastic, tiny=args.tiny,
+                            vae_encode_chunk=enc_chunk)
         schedule = make_flow_schedule(shift=3.0)
         build_plain, build_adv = build_flow_distill_step, build_flow_adv_steps
         disc_cfg = SD3_DISC_CONFIG

@@ -280,6 +280,7 @@ def test_split_d_matches_monolithic_d_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_pair_features_matches_two_passes():
     """_pair_features (one 2B frozen-teacher forward over [fake; real]) must
     return the same features as two separate B forwards — per-sample ops only."""
@@ -312,6 +313,7 @@ def test_pair_features_matches_two_passes():
             np.asarray(rf[k]), np.asarray(rf_ref[k]), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_flow_split_d_matches_monolithic_d_step():
     """build_flow_adv_d_split must produce bit-identical D updates to
     build_flow_adv_steps' monolithic d_step for the same rng (SD3 family)."""

@@ -9,6 +9,7 @@ for CLIP/T5 is covered against transformers in test_clip.py/test_t5.py.
 import re
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -108,6 +109,7 @@ def _assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=str(k))
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_unet_converter_roundtrip():
     for cfg in (TINY_UNET_CONFIG, TINY_SDXL_CONFIG):
         m = UNet2DCondition(cfg)
@@ -125,6 +127,7 @@ def test_unet_converter_roundtrip():
         _assert_trees_equal(params, back)
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_vae_converter_roundtrip():
     m = AutoencoderKL(TINY_VAE_CONFIG)
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]

@@ -23,6 +23,7 @@ def _flat(tree):
     return jax.tree_util.tree_flatten_with_path(tree)
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_structure_matches_host_init(bundle):
     hf, hl = init_frozen_fast(bundle, seed=0)
     gen = build_device_init(bundle)
@@ -42,6 +43,7 @@ def test_structure_matches_host_init(bundle):
                 np.testing.assert_array_equal(h, d, err_msg=jax.tree_util.keystr(hp))
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_normal_leaves_have_fan_in_scale(bundle):
     gen = build_device_init(bundle)
     frozen, _ = jax.jit(gen)(jax.random.PRNGKey(0))
@@ -57,6 +59,7 @@ def test_normal_leaves_have_fan_in_scale(bundle):
     assert checked >= 5
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_int8_variant_quantizes_frozen(bundle):
     from pcm_tpu.utils.quant import QTensor
 

@@ -62,6 +62,7 @@ def test_unet_guidance_scale_conditioning():
     np.testing.assert_allclose(np.asarray(out_0), np.asarray(out_none), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_unet_lora_grads_nonzero_and_base_frozen(tiny_unet):
     m, vars_, (x, t, ctx) = tiny_unet
 
@@ -81,6 +82,7 @@ def test_unet_lora_grads_nonzero_and_base_frozen(tiny_unet):
             assert s == 0, f"unexpected nonzero A grad at init for {key}"
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_unet_remat_policy_equivalence(tiny_unet):
     """remat (any policy) must not change outputs or grads vs no remat."""
     m, vars_, (x, t, ctx) = tiny_unet
@@ -134,6 +136,35 @@ def test_sdxl_unet_conditioning():
     added2 = {"text_embeds": 2.0 + jnp.ones((2, 32)), "time_ids": jnp.ones((2, 6))}
     out2 = m.apply(vars_, x, t, ctx, added2)
     assert float(jnp.max(jnp.abs(out - out2))) > 1e-6
+
+
+def test_vae_encode_chunked_matches_per_sample():
+    """_encode_chunked(chunk=1) == encoding each sample with its split key —
+    the memory-bounding path used at 1024px bs>=2 (docs/PERF.md)."""
+    from pcm_tpu.train.bundles import _encode_chunked
+
+    m = AutoencoderKL(TINY_VAE_CONFIG)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3), jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), x[:1])
+    rng = jax.random.PRNGKey(7)
+    chunked = _encode_chunked(m, vars_["params"], x, rng, chunk=1)
+    keys = jax.random.split(rng, 4)
+    direct = jnp.concatenate([
+        m.apply(vars_, x[i : i + 1], keys[i], method=AutoencoderKL.encode)
+        for i in range(4)
+    ])
+    # same math, but lax.map fuses differently than eager per-sample calls
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(direct), rtol=1e-5, atol=1e-6
+    )
+    # chunk >= batch (and 0/None) short-circuits to the single-call path
+    whole = _encode_chunked(m, vars_["params"], x, rng, chunk=0)
+    np.testing.assert_array_equal(
+        np.asarray(whole),
+        np.asarray(m.apply(vars_, x, rng, method=AutoencoderKL.encode)),
+    )
+    with pytest.raises(ValueError):
+        _encode_chunked(m, vars_["params"], x, rng, chunk=3)
 
 
 def test_vae_roundtrip_shapes():

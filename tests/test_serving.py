@@ -287,6 +287,7 @@ def _tiny_lora_engine(batch_size=2):
     return engine, lora_template
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_lora_hot_swap(tmp_path):
     """Swapping a kohya adapter into a template-built engine changes the
     output without recompiling, and matches an engine built directly with
@@ -328,6 +329,7 @@ def test_lora_hot_swap(tmp_path):
         engine.load_lora(bad)
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_lora_swap_guards(tmp_path):
     """Advisor findings: a same-shape wrong-dtype tree must be rejected (it
     would silently recompile the graph), a kohya file whose alpha differs
@@ -364,6 +366,7 @@ def test_lora_swap_guards(tmp_path):
         engine.unregister_adapter("tmp")
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_http_lora_endpoint(tmp_path):
     from pcm_tpu.lora.kohya import save_kohya_safetensors
 
@@ -394,6 +397,7 @@ def test_http_lora_endpoint(tmp_path):
     server.stop()
 
 
+@pytest.mark.slow  # quick-tier budget: see docs/PERF.md 'Test suite budget'
 def test_multi_adapter_routing(tmp_path):
     """Named adapters: per-request selection returns the same images as a
     default-swap to that adapter; the HTTP dispatcher batches per adapter
