@@ -360,6 +360,10 @@ def main():
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="VAE-decode this many samples at a time (infer mode; "
                          "bounds decoder memory so batch can exceed 4 at 1024px)")
+    ap.add_argument("--elementwise", default=None, choices=["pallas", "xla"],
+                    help="force the GEGLU/GroupNorm implementation for the "
+                         "train-step trace (default: module defaults — pallas "
+                         "in train graphs; see ops/common.py)")
     ap.add_argument("--encode-chunk", type=int, default=None,
                     help="VAE-encode this many samples at a time inside the "
                          "train step (default: 1 at >=1024px when batch>1 — "
@@ -385,7 +389,16 @@ def main():
     from pcm_tpu.utils.quant import int8_matmul
 
     ctx = int8_matmul(which=args.int8_matmul) if args.int8_matmul else contextlib.nullcontext()
-    with ctx:  # int8-MXU dispatch is decided at trace time
+    ew = contextlib.nullcontext()
+    if args.elementwise:
+        # "xla" inlines GEGLU/GroupNorm into XLA fusions (1.9x per-op vs the
+        # pallas kernels on inference traces, ops/common.py) — historically
+        # SIGKILLed the remote compiler on REMAT'd full-step graphs; opt-in
+        # here to probe remat-free / current-compiler behavior
+        from pcm_tpu.ops.common import elementwise_impl
+
+        ew = elementwise_impl(args.elementwise)
+    with ctx, ew:  # both dispatches are decided at trace time
         lowered = jstep.lower(state, frozen, batch, rng)
     compiled = lowered.compile()
     print(f"# compile: {time.time()-t0:.1f}s", file=sys.stderr)

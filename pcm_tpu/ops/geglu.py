@@ -6,10 +6,12 @@ epilogue avoids ever writing the ``2F``-wide intermediate to HBM — at SDXL
 scale that saves ~4 bytes/elem × seq × 2F of round-trip traffic per block.
 
 The kernel is a standard tiled matmul, grid (M/bm, F/bn, K/bk), with *two*
-fp32 accumulators (value half and gate half of the weight matrix, which is
-split host-side so each gets a clean BlockSpec) and the gelu-gate applied at
-the final K step. Backward recomputes via XLA matmuls (`jax.vjp` of the
-oracle) — matmul backward is MXU work XLA already schedules optimally.
+fp32 accumulators (value half and gate half of the (K, 2F) weight, read in
+place via two BlockSpec index maps over the SAME array — block sizes are
+chosen as divisors of K/F so no padded weight copy is ever materialized) and
+the gelu-gate applied at the final K step. Backward recomputes via XLA
+matmuls (`jax.vjp` of the oracle) — matmul backward is MXU work XLA already
+schedules optimally.
 """
 
 from __future__ import annotations
@@ -56,9 +58,22 @@ def _geglu_kernel(x_ref, wa_ref, wb_ref, ba_ref, bb_ref, o_ref, acc_a, acc_b, *,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        a = acc_a[:] + ba_ref[0]
-        b = acc_b[:] + bb_ref[0]
+        a = acc_a[:] + ba_ref[0].astype(jnp.float32)
+        b = acc_b[:] + bb_ref[0].astype(jnp.float32)
         o_ref[:] = (a * _gelu_exact(b)).astype(o_ref.dtype)
+
+
+def _divisor_block(dim: int, cap: int):
+    """Largest multiple-of-128 divisor of ``dim`` that is <= cap (None if the
+    dim is not lane-aligned). Picking a divisor lets the kernel read the
+    weight halves in place via BlockSpec index maps instead of padding a
+    host-side split — the split+pad materialized two ~15 MB HLO temps PER
+    GEGLU LAYER in the remat'd SDXL train graph (the bs4 OOM dumps were full
+    of ``bf16[1536,5120] pad`` buffers from exactly this line)."""
+    for c in range(min(cap, dim) - min(cap, dim) % 128, 0, -128):
+        if dim % c == 0:
+            return c
+    return None
 
 
 def _forward(x, w, b, interpret):
@@ -67,32 +82,33 @@ def _forward(x, w, b, interpret):
     f = two_f // 2
     m = int(np.prod(lead))
     xr = x.reshape(m, k)
-    wa, wb = w[:, :f], w[:, f:]
-    ba, bb = b[:f].astype(jnp.float32)[None, :], b[f:].astype(jnp.float32)[None, :]
+
+    bn = _divisor_block(f, 512)
+    bk = _divisor_block(k, 512)
+    if bn is None or bk is None:
+        # lane-unaligned K or F (never hit by the supported model zoo):
+        # XLA oracle rather than a padded-weight kernel path
+        return geglu_reference(x, w, b)
 
     bm = min(256, round_up(m, 8))
-    bn = min(512, round_up(f, 128))
-    bk = min(512, round_up(k, 128))
-    m_p, f_p, k_p = round_up(m, bm), round_up(f, bn), round_up(k, bk)
-    xp = jnp.pad(xr, ((0, m_p - m), (0, k_p - k)))
-    wap = jnp.pad(wa, ((0, k_p - k), (0, f_p - f)))
-    wbp = jnp.pad(wb, ((0, k_p - k), (0, f_p - f)))
-    bap = jnp.pad(ba, ((0, 0), (0, f_p - f)))
-    bbp = jnp.pad(bb, ((0, 0), (0, f_p - f)))
+    m_p = round_up(m, bm)
+    xp = jnp.pad(xr, ((0, m_p - m), (0, 0))) if m_p != m else xr
+    b2 = b.reshape(1, two_f)
+    nj = f // bn  # gate half starts nj blocks into the (K, 2F) weight
 
-    nk = k_p // bk
+    nk = k // bk
     out = pl.pallas_call(
         functools.partial(_geglu_kernel, nk=nk),
-        grid=(m_p // bm, f_p // bn, nk),
+        grid=(m_p // bm, nj, nk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki)),
             pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j)),
-            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j)),
+            pl.BlockSpec((bk, bn), lambda i, j, ki, _nj=nj: (ki, j + _nj)),
             pl.BlockSpec((1, bn), lambda i, j, ki: (0, j)),
-            pl.BlockSpec((1, bn), lambda i, j, ki: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, ki, _nj=nj: (0, j + _nj)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m_p, f_p), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m_p, f), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bm, bn), jnp.float32),
             pltpu.VMEM((bm, bn), jnp.float32),
@@ -101,8 +117,8 @@ def _forward(x, w, b, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, wap, wbp, bap, bbp)
-    return out[:m, :f].reshape(*lead, f)
+    )(xp, w, w, b2, b2)
+    return out[:m].reshape(*lead, f)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -1,4 +1,9 @@
-"""Pallas kernels vs XLA oracles (interpret mode on CPU)."""
+"""Pallas kernels vs XLA oracles.
+
+Every kernel test passes ``interpret=True`` so the ACTUAL Pallas kernel body
+runs (via the interpreter) on the CPU CI box — without it the public entry
+points dispatch to the XLA oracle on non-TPU backends and the tests would
+compare the oracle against itself."""
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +34,7 @@ def test_flash_attention_forward(b, sq, sk, h, d):
     q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
     k = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
     v = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
-    out = flash_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
     ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
@@ -39,7 +44,7 @@ def test_flash_attention_bf16():
     q = jnp.asarray(rng.randn(1, 64, 2, 64), jnp.bfloat16)
     k = jnp.asarray(rng.randn(1, 64, 2, 64), jnp.bfloat16)
     v = jnp.asarray(rng.randn(1, 64, 2, 64), jnp.bfloat16)
-    out = flash_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
     ref = attention_reference(q, k, v)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(
@@ -54,7 +59,7 @@ def test_flash_attention_grad():
     v = jnp.asarray(rng.randn(1, 56, 2, 32), jnp.float32)
 
     def f(q, k, v):
-        return jnp.sum(jnp.sin(flash_attention(q, k, v)))
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, interpret=True)))
 
     def f_ref(q, k, v):
         return jnp.sum(jnp.sin(attention_reference(q, k, v)))
@@ -77,7 +82,7 @@ def test_group_norm_silu(shape, groups):
     x = jnp.asarray(rng.randn(*shape), jnp.float32)
     gamma = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
     beta = jnp.asarray(rng.randn(c), jnp.float32)
-    out = group_norm_silu(x, gamma, beta, groups)
+    out = group_norm_silu(x, gamma, beta, groups, interpret=True)
     ref = group_norm_silu_reference(x, gamma, beta, groups)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
@@ -87,12 +92,12 @@ def test_group_norm_silu_no_act_and_grad():
     x = jnp.asarray(rng.randn(2, 6, 64), jnp.float32)
     gamma = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
     beta = jnp.asarray(rng.randn(64), jnp.float32)
-    out = group_norm_silu(x, gamma, beta, 16, act=None)
+    out = group_norm_silu(x, gamma, beta, 16, act=None, interpret=True)
     ref = group_norm_silu_reference(x, gamma, beta, 16, act=None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
     def f(x, gamma, beta):
-        return jnp.sum(group_norm_silu(x, gamma, beta, 16) ** 2)
+        return jnp.sum(group_norm_silu(x, gamma, beta, 16, interpret=True) ** 2)
 
     def f_ref(x, gamma, beta):
         return jnp.sum(group_norm_silu_reference(x, gamma, beta, 16) ** 2)
@@ -103,19 +108,21 @@ def test_group_norm_silu_no_act_and_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
-@pytest.mark.parametrize("m,k,f", [(32, 64, 128), (17, 96, 200)])
+# (32, 128, 128)/(16, 256, 384) take the in-place BlockSpec kernel path;
+# (17, 96, 200) is lane-unaligned and must hit the XLA-oracle fallback
+@pytest.mark.parametrize("m,k,f", [(32, 128, 128), (16, 256, 384), (17, 96, 200)])
 def test_geglu(m, k, f):
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(2, m, k), jnp.float32)
     w = jnp.asarray(rng.randn(k, 2 * f) * 0.05, jnp.float32)
     b = jnp.asarray(rng.randn(2 * f) * 0.1, jnp.float32)
-    out = geglu(x, w, b)
+    out = geglu(x, w, b, interpret=True)
     ref = geglu_reference(x, w, b)
     assert out.shape == (2, m, f)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
     def loss(x, w, b):
-        return jnp.sum(geglu(x, w, b) ** 2)
+        return jnp.sum(geglu(x, w, b, interpret=True) ** 2)
 
     def loss_ref(x, w, b):
         return jnp.sum(geglu_reference(x, w, b) ** 2)
