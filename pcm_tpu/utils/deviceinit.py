@@ -96,8 +96,26 @@ def device_init(bundle, seed: int = 0, weights: str = "bf16", device=None):
     cache, so warm starts cost one small cache hit + on-device generation —
     no multi-GiB host->device transfer.
     """
+    import sys
+    import time
+
+    t0 = time.time()
     gen = build_device_init(bundle, weights)
     dev = device or jax.devices()[0]
     with jax.default_device(dev):
-        frozen, lora = jax.jit(gen)(jax.random.PRNGKey(seed))
+        lowered = jax.jit(gen).lower(jax.random.PRNGKey(seed))
+        t1 = time.time()
+        compiled = lowered.compile()
+        t2 = time.time()
+        frozen, lora = compiled(jax.random.PRNGKey(seed))
+        t3 = time.time()
+    # phase timings to attribute the init cost (round-2: 147 s total on the
+    # axon backend with a warm compile cache — which phase pays is unknown
+    # until measured on-chip; "call" includes creating ~5k output buffers
+    # through the remote tunnel)
+    print(
+        f"# device_init phases: trace+lower {t1-t0:.1f}s "
+        f"compile {t2-t1:.1f}s call {t3-t2:.1f}s",
+        file=sys.stderr,
+    )
     return frozen, lora
