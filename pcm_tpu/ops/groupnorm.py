@@ -59,12 +59,21 @@ def _forward(x, gamma, beta, num_groups, eps, act, interpret):
     xr = x.reshape(n, s, c)
 
     # Spatial block sized so one (bs, C) tile stays well under VMEM even with
-    # double buffering and fp32 intermediates.
+    # double buffering and fp32 intermediates. Prefer a block that DIVIDES s:
+    # a non-dividing block forces jnp.pad to round s up, and that pad is a
+    # full read+write copy of the activation (80 MB per call at SDXL
+    # 4x128x128x640) — a pure HBM-bandwidth tax paid again on every remat
+    # recompute. UNet/VAE spatial sizes are power-of-two-rich, so a divisor
+    # within ~2x of the budget cap always exists there; lane-odd cases like
+    # text seq 77 fall back to the padded path.
     bytes_per_row = c * max(x.dtype.itemsize, 2)
     bs_budget = max(8, (512 * 1024 // bytes_per_row) // 8 * 8)
-    bs = min(bs_budget, 1024, round_up(s, 8))
+    cap = min(bs_budget, 1024, s)
+    bs = next((cand for cand in range(cap - cap % 8, 7, -8) if s % cand == 0), None)
+    if bs is None:
+        bs = min(bs_budget, 1024, round_up(s, 8))
     s_p = round_up(s, bs)
-    xp = jnp.pad(xr, ((0, 0), (0, s_p - s), (0, 0)))
+    xp = xr if s_p == s else jnp.pad(xr, ((0, 0), (0, s_p - s), (0, 0)))
     nblocks = s_p // bs
 
     stats = pl.pallas_call(
