@@ -360,7 +360,7 @@ def main():
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="VAE-decode this many samples at a time (infer mode; "
                          "bounds decoder memory so batch can exceed 4 at 1024px)")
-    ap.add_argument("--elementwise", default=None, choices=["pallas", "xla"],
+    ap.add_argument("--elementwise", default=None, choices=["pallas", "xla", "xla_gn"],
                     help="force the GEGLU/GroupNorm implementation for the "
                          "train-step trace (default: module defaults — pallas "
                          "in train graphs; see ops/common.py)")

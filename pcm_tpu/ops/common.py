@@ -42,9 +42,17 @@ _ELEMENTWISE_IMPL = contextvars.ContextVar("pcm_elementwise_impl", default=None)
 
 @contextlib.contextmanager
 def elementwise_impl(name: str):
-    """Select the GEGLU/GroupNorm implementation ("pallas" | "xla") for code
-    traced within the context. Flash attention is unaffected."""
-    assert name in ("pallas", "xla"), name
+    """Select the GEGLU/GroupNorm implementation for code traced within the
+    context. Flash attention is unaffected.
+
+    "pallas"  — both ops use the Pallas kernels (train-graph default)
+    "xla"     — both inline into XLA fusions (inference-trace default)
+    "xla_gn"  — GroupNorm inlines into XLA, GEGLU keeps the Pallas kernel:
+                the remote-compiler SIGKILL on remat'd train graphs was
+                attributed to the ~70 inlined GEGLU dot_generals, so this
+                probes the GroupNorm half of the XLA win independently
+    """
+    assert name in ("pallas", "xla", "xla_gn"), name
     tok = _ELEMENTWISE_IMPL.set(name)
     try:
         yield
@@ -52,8 +60,9 @@ def elementwise_impl(name: str):
         _ELEMENTWISE_IMPL.reset(tok)
 
 
-def pallas_elementwise() -> bool:
-    """Whether GEGLU/GroupNorm use the Pallas kernels at this trace point.
+def pallas_elementwise(kind: str = "geglu") -> bool:
+    """Whether ``kind`` ("geglu" | "groupnorm") uses the Pallas kernel at
+    this trace point.
 
     Isolated fenced v5e measurements (scripts/tune_elementwise.py,
     2026-08-16) show XLA's fused matmul-epilogue GEGLU ~1.9x faster fwd+bwd
@@ -70,6 +79,8 @@ def pallas_elementwise() -> bool:
     if env is not None:
         return env == "1"
     ctx = _ELEMENTWISE_IMPL.get()
+    if ctx == "xla_gn":
+        return kind == "geglu"
     if ctx is not None:
         return ctx == "pallas"
     return True

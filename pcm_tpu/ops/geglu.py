@@ -146,7 +146,7 @@ def geglu(
     if interpret is None:
         from .common import force_reference_ops, pallas_elementwise
 
-        if interpret_default() or force_reference_ops() or not pallas_elementwise():
+        if interpret_default() or force_reference_ops() or not pallas_elementwise("geglu"):
             # XLA epilogue fusion wins here on v5e (see common.pallas_elementwise)
             return geglu_reference(x, w, b)
         interpret = False

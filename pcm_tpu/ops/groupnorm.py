@@ -155,7 +155,7 @@ def group_norm_silu(
         from .common import force_reference_ops, pallas_elementwise
 
         if interpret_default() or force_reference_ops() or (
-            not pallas_elementwise() and not _force_pallas_for_size(x.shape)
+            not pallas_elementwise("groupnorm") and not _force_pallas_for_size(x.shape)
         ):
             # XLA wins at most UNet shapes on v5e (see common.pallas_elementwise)
             return group_norm_silu_reference(x, gamma, beta, num_groups, eps, act)
