@@ -321,14 +321,16 @@ def main():
     # persistent cache at /tmp/jax_cache makes subsequent runs fast.
     ap.add_argument("--family", default="sdxl")
     ap.add_argument("--resolution", type=int, default=1024)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--lora-rank", type=int, default=64)
-    # headline defaults: int8 weight-only frozen kernels + no gradient
-    # checkpointing — fastest measured 1024px config (802.5 ms vs 892.6 ms for
-    # bf16+dots_small; the int8 storage frees 3.05 GiB, which is what lets
-    # remat=none fit in 15.75 G). bf16 remains available via --weights.
-    ap.add_argument("--remat", default="none", type=_remat_arg,
+    # headline defaults: bs4 + int8 weight-only frozen kernels + dots8m remat
+    # + per-sample chunked VAE encode — best measured samples/s/chip at
+    # 1024px (2026-08-19: bs4/dots8m 2668 ms = 1.499 samples/s vs bs1/none
+    # 816 ms = 1.225; per-op MFU rises with batch, and dots8m's <=8 MiB
+    # saved-dot cap is what fits bs4 residuals in 15.75 G). bs1 + remat=none
+    # remains the latency config via --batch 1 --remat none.
+    ap.add_argument("--remat", default="dots8m", type=_remat_arg,
                     help="none | full | hybrid | dots | dots_small | dots<N>m "
                          "(save dot outputs <= N MiB; tighter cap for larger "
                          "batches)")
