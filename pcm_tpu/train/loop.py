@@ -121,8 +121,30 @@ class Trainer:
         return state
 
     def _try_resume(self):
-        restored, step = self.ckpt.restore(self._ckpt_state())
+        template = self._ckpt_state()
+        restored, step = self.ckpt.restore(template)
         if step is not None:
+            # Restored leaves must be as movable as the template's: orbax
+            # returns COMMITTED arrays, so when the template params were
+            # host-initialized UNCOMMITTED cpu arrays (init_frozen_cpu) that
+            # the first jitted TPU step would have auto-transferred, the
+            # restored committed-cpu params instead kill that step with
+            # "incompatible devices" (observed on a real single-chip resume,
+            # .cache/logs/trainrun_leg2.out: params on CPU, state.step on
+            # TPU). Committed templates (mesh-sharded states) keep their
+            # sharding; uncommitted templates demote the restored leaf to
+            # host numpy so jit places it exactly like the fresh state.
+            def _replace(r, t):
+                committed = isinstance(t, jax.Array) and getattr(t, "_committed", True)
+                if committed:
+                    if isinstance(r, jax.Array) and r.sharding != t.sharding:
+                        return jax.device_put(r, t.sharding)
+                    return r
+                if isinstance(r, jax.Array):
+                    return np.asarray(jax.device_get(r))
+                return r
+
+            restored = jax.tree.map(_replace, restored, template)
             self.g_state = restored["g_state"]
             self.d_state = restored.get("d_state", self.d_state)
             self.global_step = int(step)

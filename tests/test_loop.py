@@ -234,6 +234,52 @@ def test_trainer_request_stop_off_main_thread(tmp_path):
     assert 1 <= trainer.global_step < 1000
 
 
+def test_resume_replaces_leaves_on_template_sharding(tmp_path):
+    """Resume must land restored leaves on the TEMPLATE's devices. On the
+    remote-TPU backend orbax restored params to host CPU while the fresh
+    state's scalars sat on the chip, and the first jitted step died with
+    "incompatible devices" (.cache/logs/trainrun_leg2.out). Simulated here
+    with two virtual CPU devices: checkpoint written from device 0, fresh
+    template committed to device 1 — the resumed state must be on device 1."""
+    import itertools
+
+    tx = make_optimizer(1e-3)
+    dev0, dev1 = jax.devices()[0], jax.devices()[1]
+
+    def step_fn(state, frozen, batch, rng):
+        return state.replace(step=state.step + 1), {"loss": jnp.float32(0.1)}
+
+    loop_cfg = LoopConfig(
+        output_dir=str(tmp_path / "placement_run"), max_train_steps=2,
+        checkpointing_steps=2, validation_steps=1000, log_every=1000,
+    )
+    state0 = jax.device_put(TrainState.create(_dummy_lora(), tx), dev0)
+    trainer = Trainer(loop_cfg, {}, state0, step_fn=step_fn)
+    trainer.run(itertools.repeat({"x": np.zeros((1,), np.float32)}))
+    trainer.ckpt.close()
+
+    template = jax.device_put(TrainState.create(_dummy_lora(), tx), dev1)
+    trainer2 = Trainer(loop_cfg, {}, template, step_fn=step_fn)
+    assert trainer2.global_step == 2
+    for leaf in jax.tree.leaves(trainer2.g_state):
+        assert leaf.sharding.device_set == {dev1}, leaf.sharding
+    # and the restored values are the checkpoint's, not the template's
+    assert int(trainer2.g_state.step) == 2
+    trainer2.ckpt.close()
+
+    # The real trainrun failure mode: an UNCOMMITTED template (host-init
+    # params that the first jitted step auto-transfers). Orbax restores
+    # committed-cpu leaves, which a TPU-backend jit refuses to move; resume
+    # must demote them back to movable host arrays.
+    tmpl3 = TrainState.create(_dummy_lora(), tx)  # uncommitted default-device
+    trainer3 = Trainer(loop_cfg, {}, tmpl3, step_fn=step_fn)
+    assert trainer3.global_step == 2
+    for leaf in jax.tree.leaves(trainer3.g_state):
+        assert isinstance(leaf, np.ndarray) or not getattr(leaf, "_committed", True), leaf
+    assert int(trainer3.g_state.step) == 2
+    trainer3.ckpt.close()
+
+
 def test_kohya_roundtrip():
     from pcm_tpu.lora.kohya import from_kohya_state_dict, to_kohya_state_dict
 
