@@ -170,6 +170,12 @@ class Trainer:
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
         t_last = time.time()
+        # host-phase accounting per log window: where wall time actually goes
+        # (data prep + h2d vs dispatch vs metric readback fence). The remote
+        # backend's per-step costs are invisible to device-side timing — the
+        # r3 trainrun measured 33-60 s/step against a 634 ms fenced device
+        # step, and these counters are how that gap gets attributed.
+        t_data = t_dispatch = 0.0
 
         def prepped():
             for b in data_iter:
@@ -227,9 +233,12 @@ class Trainer:
                 ).compile()
             barrier("pcm_first_step")
         while self.global_step < cfg.max_train_steps and not self._stop_requested:
+            _t0 = time.time()
             while len(lookahead) <= max(prefetch, 0):
                 lookahead.append(next(batches))
             batch = lookahead.popleft()
+            _t1 = time.time()
+            t_data += _t1 - _t0
 
             if self.adversarial and self.global_step % 2 == 0:
                 # even parity trains D (ref `train_pcm_lora_sd15_adv.py:1374`)
@@ -242,6 +251,7 @@ class Trainer:
                 )
             else:
                 self.g_state, metrics = self._step(self.g_state, self.frozen, batch, rng)
+            t_dispatch += time.time() - _t1
 
             self.global_step += 1
             if self.global_step % cfg.log_every == 0:
@@ -250,9 +260,15 @@ class Trainer:
                 d = prodigy_d(self.g_state.opt_state)
                 if d is not None:
                     metrics = dict(metrics, prodigy_d=d)
-                now = time.time()
+                _tf = time.time()
                 metrics = dict(metrics)
+                metrics = {k: float(v) for k, v in metrics.items()}  # readback fence
+                now = time.time()
                 metrics["steps_per_sec"] = cfg.log_every / (now - t_last)
+                metrics["host_data_s"] = round(t_data, 3)
+                metrics["host_dispatch_s"] = round(t_dispatch, 3)
+                metrics["fence_s"] = round(now - _tf, 3)
+                t_data = t_dispatch = 0.0
                 t_last = now
                 self.logger.log(self.global_step, metrics)
                 if cfg.abort_on_nonfinite:
