@@ -169,13 +169,6 @@ class Trainer:
         equivalent of the reference's pinned-memory dataloader workers."""
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
-        t_last = time.time()
-        # host-phase accounting per log window: where wall time actually goes
-        # (data prep + h2d vs dispatch vs metric readback fence). The remote
-        # backend's per-step costs are invisible to device-side timing — the
-        # r3 trainrun measured 33-60 s/step against a 634 ms fenced device
-        # step, and these counters are how that gap gets attributed.
-        t_data = t_dispatch = 0.0
 
         def prepped():
             for b in data_iter:
@@ -232,11 +225,80 @@ class Trainer:
                     self.g_state, self.frozen, b0, rng
                 ).compile()
             barrier("pcm_first_step")
+
+        # Background feeder: batch prep (collate output -> asarray H2D ->
+        # shard) runs off the main thread so the upload (~2 s/batch through
+        # the 13 MB/s remote tunnel, measured) overlaps device compute
+        # instead of serializing with the step dispatch. ``prefetch`` bounds
+        # the queue so the feeder stays at most that many batches ahead.
+        import queue as queue_mod
+
+        feed_q: queue_mod.Queue = queue_mod.Queue(maxsize=max(prefetch, 1))
+        feed_stop = threading.Event()
+        _END = object()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer has stopped."""
+            while not feed_stop.is_set():
+                try:
+                    feed_q.put(item, timeout=0.5)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
+        def _feeder():
+            try:
+                for b in batches:
+                    if not _put(b):
+                        return
+            except BaseException as e:  # re-raised on the consumer side
+                _put(("__feeder_error__", e))
+                return
+            _put(_END)
+
+        threading.Thread(target=_feeder, daemon=True, name="pcm-batch-feeder").start()
+
+        def _next_batch():
+            if lookahead:  # the multi-process AOT-compile batch
+                return lookahead.popleft()
+            item = feed_q.get()
+            if item is _END:
+                raise StopIteration("data iterator exhausted before max_train_steps")
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__feeder_error__":
+                raise item[1]
+            return item
+
+        try:
+            self._run_steps(cfg, rng, _next_batch)
+        finally:
+            feed_stop.set()  # unblocks the feeder within its 0.5 s put timeout
+        if self._stop_requested and self.global_step % cfg.checkpointing_steps != 0:
+            self.logger.log(self.global_step, {"preempted": 1.0})
+        self._save()
+        self.ckpt.wait()
+        if jax.process_count() > 1:
+            # align exits: process-0-only tail work (kohya export, image
+            # logging) must not push process 0 past the coordination
+            # service's Shutdown-barrier window while the others exit
+            from ..parallel.mesh import barrier
+
+            barrier("pcm_run_done")
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+        return self.g_state, self.d_state
+
+    def _run_steps(self, cfg, rng, _next_batch):
+        t_last = time.time()
+        # host-phase accounting per log window: where wall time actually goes
+        # (data wait vs dispatch vs metric readback fence). The remote
+        # backend's per-step costs are invisible to device-side timing — the
+        # r3 trainrun measured 33-60 s/step against a 634 ms fenced device
+        # step, and these counters are how that gap gets attributed.
+        t_data = t_dispatch = 0.0
         while self.global_step < cfg.max_train_steps and not self._stop_requested:
             _t0 = time.time()
-            while len(lookahead) <= max(prefetch, 0):
-                lookahead.append(next(batches))
-            batch = lookahead.popleft()
+            batch = _next_batch()
             _t1 = time.time()
             t_data += _t1 - _t0
 
@@ -297,18 +359,3 @@ class Trainer:
                         self.logger.log_images(self.global_step, f"validation/{tag}", imgs)
                 elif images is not None:
                     self.logger.log_images(self.global_step, "validation", images)
-
-        if self._stop_requested and self.global_step % cfg.checkpointing_steps != 0:
-            self.logger.log(self.global_step, {"preempted": 1.0})
-        self._save()
-        self.ckpt.wait()
-        if jax.process_count() > 1:
-            # align exits: process-0-only tail work (kohya export, image
-            # logging) must not push process 0 past the coordination
-            # service's Shutdown-barrier window while the others exit
-            from ..parallel.mesh import barrier
-
-            barrier("pcm_run_done")
-        for sig, h in prev_handlers.items():
-            signal.signal(sig, h)
-        return self.g_state, self.d_state
