@@ -306,6 +306,40 @@ def build_infer(family: str, resolution: int, batch: int, steps: int,
     return frozen, lora, cond, run
 
 
+def _trace_contexts(args):
+    """The int8-matmul / elementwise dispatch contexts for a benchmark trace.
+
+    Both dispatches are contextvar-scoped trace-time decisions (ops/common.py,
+    utils/quant.py) — every mode's `.lower()` call must run inside this, or
+    `--int8-matmul` / `--elementwise` are silently ignored for that mode
+    (round-3 ADVICE: infer/adv measured the default dispatch)."""
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    if args.int8_matmul:
+        from pcm_tpu.utils.quant import int8_matmul
+
+        stack.enter_context(int8_matmul(which=args.int8_matmul))
+    if args.elementwise:
+        from pcm_tpu.ops.common import elementwise_impl
+
+        stack.enter_context(elementwise_impl(args.elementwise))
+    return stack
+
+
+def _emit(metric: str, value: float, vs_baseline, unit: str = "samples/sec/chip",
+          **extra):
+    """The ONE driver-facing JSON line (+ provenance keys, ADVICE r3 #3)."""
+    rec = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
+    }
+    rec.update({k: v for k, v in extra.items() if v is not None})
+    print(json.dumps(rec))
+
+
 def _remat_arg(v: str) -> str:
     import re
 
@@ -364,14 +398,25 @@ def main():
                          "bounds decoder memory so batch can exceed 4 at 1024px)")
     ap.add_argument("--elementwise", default=None, choices=["pallas", "xla", "xla_gn"],
                     help="force the GEGLU/GroupNorm implementation for the "
-                         "train-step trace (default: module defaults — pallas "
-                         "in train graphs; see ops/common.py)")
+                         "benchmarked trace. Default: 'xla' for the SDXL train "
+                         "headline (measured 2026-08-19: bs4/dots8m 2449 ms "
+                         "with XLA-inlined elementwise vs 2627 ms Pallas — the "
+                         "custom-vjp kernels re-run their oracle forward under "
+                         "remat, ~8 vs ~6 matmul-units/layer); module defaults "
+                         "elsewhere (pallas in train graphs; ops/common.py)")
     ap.add_argument("--encode-chunk", type=int, default=None,
                     help="VAE-encode this many samples at a time inside the "
                          "train step (default: 1 at >=1024px when batch>1 — "
                          "the encoder's first convs are the HBM peak there; "
                          "0 disables chunking)")
     args = ap.parse_args()
+    if args.elementwise is None and args.family == "sdxl" and args.mode == "train":
+        # headline default: XLA-inlined GEGLU/GroupNorm. Measured 2026-08-19
+        # (queue7 bs4_d8_xlaew): 2449 ms vs 2627 ms Pallas at bs4/dots8m —
+        # the Pallas custom-vjp backward re-runs its oracle forward on top of
+        # the remat recompute. The historical remote-compiler SIGKILL on
+        # XLA-inlined remat graphs did not reproduce on this compile.
+        args.elementwise = "xla"
 
     if args.mode == "infer":
         return main_infer(args)
@@ -386,21 +431,7 @@ def main():
 
     t0 = time.time()
     jstep = jax.jit(step, donate_argnums=(0,))
-    import contextlib
-
-    from pcm_tpu.utils.quant import int8_matmul
-
-    ctx = int8_matmul(which=args.int8_matmul) if args.int8_matmul else contextlib.nullcontext()
-    ew = contextlib.nullcontext()
-    if args.elementwise:
-        # "xla" inlines GEGLU/GroupNorm into XLA fusions (1.9x per-op vs the
-        # pallas kernels on inference traces, ops/common.py) — historically
-        # SIGKILLed the remote compiler on REMAT'd full-step graphs; opt-in
-        # here to probe remat-free / current-compiler behavior
-        from pcm_tpu.ops.common import elementwise_impl
-
-        ew = elementwise_impl(args.elementwise)
-    with ctx, ew:  # both dispatches are decided at trace time
+    with _trace_contexts(args):  # dispatches are decided at trace time
         lowered = jstep.lower(state, frozen, batch, rng)
     compiled = lowered.compile()
     print(f"# compile: {time.time()-t0:.1f}s", file=sys.stderr)
@@ -427,11 +458,22 @@ def main():
     print(f"# step: {dt*1000:.1f}ms  loss={loss0:.4f}", file=sys.stderr)
 
     # analytic reference estimate (see module docstring): credit the
-    # reference the ALGORITHMIC flops, not our remat recompute
+    # reference the ALGORITHMIC flops, not our remat recompute. The constant
+    # is only valid for the calibration config (rank-64 LoRA, standard step
+    # math) — config knobs that change algorithmic FLOPs fall back to the
+    # measured count so the headline can't silently reuse a stale constant
+    # (round-3 ADVICE #3); provenance is recorded in the emitted JSON.
     algo_per_sample = ALGO_FLOPS_PER_SAMPLE.get((args.family, "train", args.resolution))
+    if algo_per_sample is not None and args.lora_rank != 64:
+        print(f"# note: algo-flops constant calibrated at lora_rank=64; "
+              f"rank {args.lora_rank} uses the measured count", file=sys.stderr)
+        algo_per_sample = None
+    flops_source = None
     if algo_per_sample is not None:
         algo_flops = algo_per_sample * args.batch
+        flops_source = "constant_remat_free_bs1"
     elif np.isfinite(flops_per_step):
+        flops_source = "measured_cost_analysis"
         algo_flops = flops_per_step
         if args.remat != "none":
             print("# note: no remat-free flop constant for this shape — "
@@ -450,15 +492,12 @@ def main():
         print(f"# flops/step={flops_per_step:.3e} (algo {algo_flops:.3e})  "
               f"v5e MFU={mfu:.2%}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.family} {args.resolution}px PCM-LoRA distill samples/sec/chip",
-                "value": round(samples_per_sec, 4),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
-            }
-        )
+    _emit(
+        f"{args.family} {args.resolution}px PCM-LoRA distill samples/sec/chip",
+        samples_per_sec, vs_baseline,
+        flops_source=flops_source,
+        algo_flops_per_sample=(algo_flops / args.batch
+                               if np.isfinite(algo_flops) else None),
     )
 
 
@@ -473,12 +512,16 @@ def main_adv(args, frozen, g_state, steps, batch):
     t0 = time.time()
     jg = jax.jit(g_step, donate_argnums=(0,))
     jd = jax.jit(d_step, donate_argnums=(1,))
-    cg = jg.lower(g_state, d_state, frozen, batch, rng).compile()
+    with _trace_contexts(args):
+        cg = jg.lower(g_state, d_state, frozen, batch, rng).compile()
     cd = split = None
+    d_flops = float("nan")
     try:
         if args.d_graph == "split":
             raise RuntimeError("--d-graph split requested")
-        cd = jd.lower(g_state, d_state, frozen, batch, rng).compile()
+        with _trace_contexts(args):
+            cd = jd.lower(g_state, d_state, frozen, batch, rng).compile()
+        d_flops = float(cd.cost_analysis()["flops"])
     except Exception as e:  # remote compiler SIGKILLs big graphs sometimes
         if args.d_graph != "split":
             print(f"# monolithic D compile failed ({type(e).__name__}); trying "
@@ -490,10 +533,16 @@ def main_adv(args, frozen, g_state, steps, batch):
             feats_fn, update_fn = split_fns
             jff = jax.jit(feats_fn)
             juf = jax.jit(update_fn, donate_argnums=(0,))
-            cff = jff.lower(g_state, d_state, frozen, batch, rng).compile()
-            ff0, rf0 = jax.eval_shape(feats_fn, g_state, d_state, frozen, batch, rng)
-            cuf = juf.lower(d_state, ff0, rf0).compile()
+            with _trace_contexts(args):
+                cff = jff.lower(g_state, d_state, frozen, batch, rng).compile()
+                ff0, rf0 = jax.eval_shape(feats_fn, g_state, d_state, frozen, batch, rng)
+                cuf = juf.lower(d_state, ff0, rf0).compile()
             split = (cff, cuf)
+            # the D step's flops = feature pass + head update (the pair is
+            # bit-identical math to the monolithic D graph) — without this
+            # the adv headline printed vs_baseline null (round-3 gap)
+            d_flops = (float(cff.cost_analysis()["flops"])
+                       + float(cuf.cost_analysis()["flops"]))
         except Exception as e2:
             print(f"# split-D compile failed too ({type(e2).__name__}); "
                   "reporting G-step-only throughput", file=sys.stderr)
@@ -509,7 +558,7 @@ def main_adv(args, frozen, g_state, steps, batch):
         return _adv_g_only(args, cg, g_state, d_state, frozen, batch, rng)
     flops = float("nan")
     try:
-        flops = float(cg.cost_analysis()["flops"]) + float(cd.cost_analysis()["flops"])
+        flops = float(cg.cost_analysis()["flops"]) + d_flops
     except Exception:
         pass
 
@@ -536,12 +585,11 @@ def main_adv(args, frozen, g_state, steps, batch):
         vs_baseline = samples_per_sec / (2 * args.batch / ref_pair)
         print(f"# flops/pair={flops:.3e}  v5e MFU={flops/pair_dt/197e12:.2%}",
               file=sys.stderr)
-    print(json.dumps({
-        "metric": f"{args.family} {args.resolution}px adversarial PCM-LoRA distill samples/sec/chip",
-        "value": round(samples_per_sec, 4),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
-    }))
+    _emit(
+        f"{args.family} {args.resolution}px adversarial PCM-LoRA distill samples/sec/chip",
+        samples_per_sec, vs_baseline,
+        flops_source="measured_cost_analysis" if np.isfinite(flops) else None,
+    )
 
 
 def _adv_g_only(args, cg, g_state, d_state, frozen, batch, rng):
@@ -586,7 +634,8 @@ def main_infer(args):
     )
     t0 = time.time()
     jrun = jax.jit(run)
-    compiled = jrun.lower(frozen, lora, cond, jax.random.PRNGKey(0)).compile()
+    with _trace_contexts(args):
+        compiled = jrun.lower(frozen, lora, cond, jax.random.PRNGKey(0)).compile()
     print(f"# compile: {time.time()-t0:.1f}s", file=sys.stderr)
     try:
         flops = float(compiled.cost_analysis()["flops"])

@@ -48,7 +48,7 @@ _TINY_T5 = T5Config(
 
 def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
                 remat_policy=None, remat_levels=None, tiny: bool = False,
-                vae_encode_chunk=None) -> SD15Bundle:
+                vae_encode_chunk=None, vae_encode_shards: int = 1) -> SD15Bundle:
     return SD15Bundle(
         unet_cfg=TINY_UNET_CONFIG if tiny else SD15_CONFIG,
         vae_cfg=TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG,
@@ -59,12 +59,13 @@ def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
         remat_policy=remat_policy,
         remat_levels=remat_levels,
         vae_encode_chunk=vae_encode_chunk,
+        vae_encode_shards=vae_encode_shards,
     )
 
 
 def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
                 remat_policy=None, remat_levels=None, tiny: bool = False,
-                vae_encode_chunk=None) -> SDXLBundle:
+                vae_encode_chunk=None, vae_encode_shards: int = 1) -> SDXLBundle:
     return SDXLBundle(
         unet_cfg=TINY_SDXL_CONFIG if tiny else SDXL_CONFIG,
         vae_cfg=TINY_VAE_CONFIG if tiny else SDXL_VAE_CONFIG,
@@ -76,13 +77,14 @@ def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
         remat_policy=remat_policy,
         remat_levels=remat_levels,
         vae_encode_chunk=vae_encode_chunk,
+        vae_encode_shards=vae_encode_shards,
     )
 
 
 def sd3_bundle(
     lora_rank: int = 32, dtype=jnp.bfloat16, remat: bool = True, adv_targets: bool = False,
     remat_policy=None, stochastic: bool = False, tiny: bool = False,
-    vae_encode_chunk=None,
+    vae_encode_chunk=None, vae_encode_shards: int = 1,
 ) -> SD3Bundle:
     """``adv_targets`` extends LoRA to the reference's adversarial target list;
     ``stochastic`` additionally drops ``pos_embed.proj`` (the
@@ -103,6 +105,7 @@ def sd3_bundle(
         remat=remat,
         remat_policy=remat_policy,
         vae_encode_chunk=vae_encode_chunk,
+        vae_encode_shards=vae_encode_shards,
     )
 
 

@@ -10,6 +10,7 @@ runs in environments without the vocab files.
 from __future__ import annotations
 
 import hashlib
+import os
 import warnings
 from typing import List, Sequence
 
@@ -71,3 +72,64 @@ class HFTokenizer:
             return_tensors="np",
         )
         return enc["input_ids"].astype(np.int32)
+
+
+# per-tower subdirectory names used by HF pipeline dumps (SDXL/SD3 ship
+# `tokenizer/`, `tokenizer_2/`, `tokenizer_3/` side by side)
+TOWER_SUBDIRS = {
+    "input_ids": "tokenizer",
+    "input_ids_2": "tokenizer_2",
+    "input_ids_3": "tokenizer_3",
+}
+
+
+def resolve_tokenizers(
+    tokenizer_dir: "str | None",
+    tok_keys: Sequence[str],
+    allow_hash: bool = False,
+    max_length: int = 77,
+):
+    """Build the per-tower tokenizer dict for the CLIs.
+
+    ``tokenizer_dir`` may be a single tokenizer dir or a pipeline root with
+    ``tokenizer{,_2,_3}/`` subdirs. CLIP towers prefer the native C++ BPE
+    (``native/clip_bpe.cpp``) whenever ``vocab.json`` + ``merges.txt`` exist
+    — it is GIL-free and transformers-parity-tested; the T5 tower
+    (``input_ids_3``) is sentencepiece, so it always goes through
+    transformers. Without a tokenizer dir, the pseudo-random HashTokenizer
+    requires ``allow_hash=True``: it is a smoke-test device, and a long run
+    on it burns accelerator-hours training garbage conditioning
+    (round-3 VERDICT #8). Hash ids are bounded per tower (T5 vocab is 32128,
+    not CLIP's 49408 — ids past the embedding table gather out of bounds)."""
+    if tokenizer_dir:
+        toks = {}
+        for k in tok_keys:
+            d = tokenizer_dir
+            sub = os.path.join(tokenizer_dir, TOWER_SUBDIRS.get(k, ""))
+            if TOWER_SUBDIRS.get(k) and os.path.isdir(sub):
+                d = sub
+            vocab = os.path.join(d, "vocab.json")
+            merges = os.path.join(d, "merges.txt")
+            if k != "input_ids_3" and os.path.exists(vocab) and os.path.exists(merges):
+                try:
+                    from .native_tokenizer import NativeCLIPTokenizer
+
+                    toks[k] = NativeCLIPTokenizer(vocab, merges, max_length=max_length)
+                    continue
+                except Exception as e:  # no toolchain / bad vocab: HF fallback
+                    warnings.warn(f"native CLIP BPE unavailable ({e}); "
+                                  f"falling back to transformers for {k}")
+            toks[k] = HFTokenizer(d, max_length)
+        return toks
+    if not allow_hash:
+        raise FileNotFoundError(
+            "no tokenizer: pass --tokenizer-dir (a transformers tokenizer dir "
+            "or one holding vocab.json+merges.txt for the native CLIP BPE), "
+            "or opt in to --allow-hash-tokenizer for smoke runs (prompts are "
+            "hashed to pseudo-random ids; text conditioning is garbage)"
+        )
+    return {
+        k: HashTokenizer(vocab_size=32128 if k == "input_ids_3" else 49408,
+                         max_length=max_length)
+        for k in tok_keys
+    }

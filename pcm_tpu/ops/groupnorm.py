@@ -69,7 +69,15 @@ def _forward(x, gamma, beta, num_groups, eps, act, interpret):
     bytes_per_row = c * max(x.dtype.itemsize, 2)
     bs_budget = max(8, (512 * 1024 // bytes_per_row) // 8 * 8)
     cap = min(bs_budget, 1024, s)
-    bs = next((cand for cand in range(cap - cap % 8, 7, -8) if s % cand == 0), None)
+    # Only accept a dividing block within 4x of the cap: a floor-less search
+    # can land on bs=8 when s is a multiple of 8 with no aligned divisor near
+    # the cap (e.g. s = 8*prime from odd resolutions), and a grid of tiny
+    # (8, C) tiles is far slower than one whole-tensor pad (round-3 ADVICE).
+    floor = max(8, cap // 4)
+    bs = next(
+        (cand for cand in range(cap - cap % 8, floor - 1, -8) if s % cand == 0),
+        None,
+    )
     if bs is None:
         bs = min(bs_budget, 1024, round_up(s, 8))
     s_p = round_up(s, bs)

@@ -51,11 +51,25 @@ def barrier(name: str, timeout_ms: int = 600_000) -> None:
     the KV barrier collapses the skew to milliseconds. No-op single-process."""
     if jax.process_count() == 1:
         return
-    from jax._src import distributed
+    try:
+        from jax._src import distributed
 
-    client = distributed.global_state.client
+        client = distributed.global_state.client
+    except (ImportError, AttributeError):
+        # private-module layout changed under an unpinned jax upgrade
+        # (round-3 ADVICE): fall back to the device-collective barrier —
+        # slower (it races gloo's connect window on CPU backends) but correct
+        client = None
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+        return
+    import jax.numpy as jnp
+
+    jax.block_until_ready(
+        jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+            jnp.ones((jax.local_device_count(),))
+        )
+    )
 
 
 def _put(x, s: NamedSharding):

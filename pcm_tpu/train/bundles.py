@@ -63,27 +63,53 @@ def _decode_chunked(vae, params, latents, chunk: Optional[int]) -> jnp.ndarray:
     return ys.reshape(b, *ys.shape[2:])
 
 
-def _encode_chunked(vae, params, pixels, rng, chunk: Optional[int]) -> jnp.ndarray:
+def _encode_chunked(vae, params, pixels, rng, chunk: Optional[int],
+                    shards: int = 1) -> jnp.ndarray:
     """VAE encode, optionally `lax.map`-ed over batch chunks (the reference
     encodes in <=32-sample chunks for the same reason, sd15 train:1127-1135).
 
     At 1024px the encoder's first conv materializes ~256M/sample temps
     (bs4 full-step OOM'd on three 1.0G encoder buffers); chunking bounds peak
     encoder memory at `chunk` samples for a negligible serialization cost —
-    encode is a tiny slice of the step."""
+    encode is a tiny slice of the step.
+
+    ``chunk`` is PER DATA SHARD: with ``shards`` > 1 (a data-parallel mesh)
+    the batch is interleaved so every map iteration encodes ``chunk`` samples
+    on EVERY shard — a contiguous global chunk would run on one device while
+    the rest idle (round-3 ADVICE). The (shards, per) reshape aligns with the
+    batch sharding boundary, so the moveaxis is a GSPMD relabel, not a
+    collective. Ragged batches fall back to a head map + unchunked tail,
+    mirroring the reference's ragged last slice (sd15 train:1128-1133)."""
     b = pixels.shape[0]
-    if not chunk or b <= chunk:
-        return vae.apply({"params": params}, pixels, rng, method=AutoencoderKL.encode)
-    if b % chunk:
-        raise ValueError(f"batch {b} not divisible by encode chunk {chunk}")
-    n = b // chunk
-    xs = pixels.reshape(n, chunk, *pixels.shape[1:])
-    keys = jax.random.split(rng, n)
-    ys = jax.lax.map(
-        lambda t: vae.apply({"params": params}, t[0], t[1], method=AutoencoderKL.encode),
-        (xs, keys),
-    )
-    return ys.reshape(b, *ys.shape[2:])
+    enc = lambda px, key: vae.apply({"params": params}, px, key,
+                                    method=AutoencoderKL.encode)
+    if not chunk or b <= chunk * shards:
+        return enc(pixels, rng)
+    if shards > 1:
+        per = b // shards
+        if b % shards or per % chunk:
+            return _encode_chunked(vae, params, pixels, rng, chunk * shards)
+        rest = pixels.shape[1:]
+        n = per // chunk
+        # (shards, n, chunk, ...): dim 0 aligns with the batch-sharding
+        # boundary; every reshape below merges with the SHARDED dim major, so
+        # GSPMD relabels instead of inserting an all-to-all.
+        xs = jnp.moveaxis(pixels.reshape(shards, n, chunk, *rest), 0, 1)
+        keys = jax.random.split(rng, n)
+        ys = jax.lax.map(
+            lambda t: enc(t[0].reshape(shards * chunk, *rest), t[1]), (xs, keys)
+        )  # (n, shards*chunk, lat...)
+        lat_rest = ys.shape[2:]
+        lat = jnp.moveaxis(ys.reshape(n, shards, chunk, *lat_rest), 1, 0)
+        return lat.reshape(b, *lat_rest)
+    n, tail = divmod(b, chunk)
+    head = pixels[: n * chunk].reshape(n, chunk, *pixels.shape[1:])
+    keys = jax.random.split(rng, n + 1)
+    ys = jax.lax.map(lambda t: enc(t[0], t[1]), (head, keys[:n]))
+    out = ys.reshape(n * chunk, *ys.shape[2:])
+    if tail:
+        out = jnp.concatenate([out, enc(pixels[n * chunk :], keys[n])], axis=0)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +125,7 @@ class SD15Bundle:
     remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
     remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
     vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
+    vae_encode_shards: int = 1  # data-mesh axis size: chunk is PER SHARD
 
     def __post_init__(self):
         object.__setattr__(
@@ -157,7 +184,7 @@ class SD15Bundle:
         else:
             latents = _encode_chunked(
                 self._vae, frozen["vae"], batch["pixel_values"], rng,
-                self.vae_encode_chunk,
+                self.vae_encode_chunk, self.vae_encode_shards,
             )
             latents = jax.lax.stop_gradient(latents)
         cond = {"prompt_embeds": prompt_embeds, "added_cond": None}
@@ -198,6 +225,7 @@ class SDXLBundle:
     remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
     remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
     vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
+    vae_encode_shards: int = 1  # data-mesh axis size: chunk is PER SHARD
 
     def __post_init__(self):
         object.__setattr__(
@@ -269,7 +297,7 @@ class SDXLBundle:
         else:
             latents = _encode_chunked(
                 self._vae, frozen["vae"], batch["pixel_values"], rng,
-                self.vae_encode_chunk,
+                self.vae_encode_chunk, self.vae_encode_shards,
             )
             latents = jax.lax.stop_gradient(latents)
         cond = {
@@ -306,6 +334,7 @@ class SD3Bundle:
     remat: bool = False
     remat_policy: Optional[str] = None  # e.g. "dots" (ops/common.py:resolve_remat_policy)
     vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
+    vae_encode_shards: int = 1  # data-mesh axis size: chunk is PER SHARD
 
     def __post_init__(self):
         object.__setattr__(
@@ -378,7 +407,7 @@ class SD3Bundle:
             # SD3 keeps the VAE in fp32 (`train_pcm_lora_sd3.py:954`)
             latents = _encode_chunked(
                 self._vae, frozen["vae"], batch["pixel_values"], rng,
-                self.vae_encode_chunk,
+                self.vae_encode_chunk, self.vae_encode_shards,
             )
             latents = jax.lax.stop_gradient(latents)
         cond = {"prompt_embeds": prompt_embeds, "pooled": pooled}

@@ -26,6 +26,26 @@ from ..utils.logging import MetricsLogger
 from .state import TrainState
 
 
+def _is_committed(x) -> bool:
+    """Whether a jax.Array is committed to its devices (explicitly placed /
+    mesh-sharded) as opposed to floating on the process-default device.
+
+    Uses the private ``_committed`` flag when present (tests/test_checkpoint.py
+    asserts it exists, so a jax upgrade that renames it fails loudly instead of
+    silently flipping resume behavior — round-3 ADVICE). The public fallback
+    treats single-default-device placement as uncommitted; misclassifying a
+    committed default-device array is benign — the leaf is demoted to host
+    numpy and the first jitted step re-places it identically."""
+    c = getattr(x, "_committed", None)
+    if c is not None:
+        return bool(c)
+    try:
+        devs = x.sharding.device_set
+    except AttributeError:
+        return True
+    return len(devs) != 1 or next(iter(devs)) != jax.local_devices()[0]
+
+
 @dataclasses.dataclass
 class LoopConfig:
     output_dir: str
@@ -135,7 +155,7 @@ class Trainer:
             # sharding; uncommitted templates demote the restored leaf to
             # host numpy so jit places it exactly like the fresh state.
             def _replace(r, t):
-                committed = isinstance(t, jax.Array) and getattr(t, "_committed", True)
+                committed = isinstance(t, jax.Array) and _is_committed(t)
                 if committed:
                     if isinstance(r, jax.Array) and r.sharding != t.sharding:
                         return jax.device_put(r, t.sharding)
@@ -170,13 +190,31 @@ class Trainer:
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
 
+        # Feeder-phase accounting (written by the feeder thread, read+reset at
+        # log boundaries — float += under the GIL is tolerable for diagnostics):
+        # feed_iter_s = waiting on the dataset/loader, feed_put_s = host->device
+        # upload (jnp.asarray through the remote tunnel) + shard assembly.
+        # The r3 trainrun showed the loop at device speed whenever the feeder
+        # kept up and ~40 s/batch when it didn't; these split that 40 s.
+        self._feed_iter_s = self._feed_put_s = 0.0
+
         def prepped():
-            for b in data_iter:
+            it = iter(data_iter)
+            while True:
+                _t0 = time.time()
+                try:
+                    b = next(it)
+                except StopIteration:
+                    return
+                _t1 = time.time()
                 b = {k: jnp.asarray(v) for k, v in b.items()}
                 if extra_batch_fn is not None:
                     b = extra_batch_fn(b)
                 if self.mesh is not None:
                     b = shard_batch(b, self.mesh)
+                _t2 = time.time()
+                self._feed_iter_s += _t1 - _t0
+                self._feed_put_s += _t2 - _t1
                 yield b
 
         from collections import deque
@@ -330,6 +368,9 @@ class Trainer:
                 metrics["host_data_s"] = round(t_data, 3)
                 metrics["host_dispatch_s"] = round(t_dispatch, 3)
                 metrics["fence_s"] = round(now - _tf, 3)
+                metrics["feed_iter_s"] = round(self._feed_iter_s, 3)
+                metrics["feed_put_s"] = round(self._feed_put_s, 3)
+                self._feed_iter_s = self._feed_put_s = 0.0
                 t_data = t_dispatch = 0.0
                 t_last = now
                 self.logger.log(self.global_step, metrics)

@@ -46,7 +46,7 @@ def main():
 
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.data.dataset import DataLoader, ImageFolderDataset, make_collate
-    from pcm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+
     from pcm_tpu.train.bundles import init_frozen_fast
 
     bundle = {
@@ -68,10 +68,9 @@ def main():
         "sdxl": ["input_ids", "input_ids_2"],
         "sd3": ["input_ids", "input_ids_2", "input_ids_3"],
     }[args.family]
-    if args.tokenizer_dir:
-        toks = {k: HFTokenizer(args.tokenizer_dir) for k in tok_keys}
-    else:
-        toks = {k: HashTokenizer() for k in tok_keys}
+    from pcm_tpu.data.tokenizer import resolve_tokenizers
+
+    toks = resolve_tokenizers(args.tokenizer_dir, tok_keys, allow_hash=True)
 
     ds = ImageFolderDataset(
         args.train_data_dir, resolution=args.resolution,

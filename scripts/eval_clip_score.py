@@ -40,7 +40,7 @@ def main():
     from PIL import Image
 
     from pcm_tpu.data.dataset import list_image_files
-    from pcm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+
     from pcm_tpu.models.clip import convert_clip_torch_state
     from pcm_tpu.utils.clip_score import (
         CLIP_VIT_L14_TEXT_CONFIG,
@@ -64,7 +64,10 @@ def main():
             with open(cap) as fh:
                 prompts.append(fh.read().strip())
 
-    tok = HFTokenizer(args.tokenizer_dir) if args.tokenizer_dir else HashTokenizer()
+    from pcm_tpu.data.tokenizer import resolve_tokenizers
+
+    tok = resolve_tokenizers(args.tokenizer_dir, ["input_ids"],
+                             allow_hash=True)["input_ids"]
     img_ex = (
         CLIPFeatures.from_torch_file(args.vision_weights, batch=args.batch)
         if args.vision_weights

@@ -52,7 +52,7 @@ def main():
 
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
-    from pcm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+
     from pcm_tpu.lora.kohya import load_kohya_safetensors
     from pcm_tpu.sampling import DDIMSampler, PCMFMSampler, TCDSampler, TextToImagePipeline
 
@@ -81,11 +81,10 @@ def main():
             args.lora, lora_template, bundle.lora.rank, prefix=prefix
         )
 
-    tok = (
-        HFTokenizer(args.tokenizer_dir)
-        if args.tokenizer_dir
-        else HashTokenizer()
-    )
+    from pcm_tpu.data.tokenizer import resolve_tokenizers
+
+    tok = resolve_tokenizers(args.tokenizer_dir, ["input_ids"],
+                             allow_hash=True)["input_ids"]
     prompts = args.prompt
     neg = [args.negative_prompt] * len(prompts)
     ids = jnp.asarray(tok(prompts))

@@ -54,7 +54,7 @@ def main():
 
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
-    from pcm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
+
     from pcm_tpu.sampling import DDIMSampler, PCMFMSampler
     from pcm_tpu.serving import BatchingServer, EngineConfig, InferenceEngine
     from pcm_tpu.train.bundles import init_frozen_cpu
@@ -101,10 +101,9 @@ def main():
     else:
         sampler = DDIMSampler.create(make_ddpm_schedule(), args.steps)
 
-    toks = {
-        k: HFTokenizer(args.tokenizer_dir) if args.tokenizer_dir else HashTokenizer()
-        for k in tok_keys
-    }
+    from pcm_tpu.data.tokenizer import resolve_tokenizers
+
+    toks = resolve_tokenizers(args.tokenizer_dir, tok_keys, allow_hash=True)
     mesh = None
     if args.data_parallel > 1:
         from pcm_tpu.parallel.mesh import make_mesh

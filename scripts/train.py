@@ -36,7 +36,13 @@ def main():
     ap.add_argument("--teacher-checkpoint", default=None,
                     help="orbax dir holding the frozen param trees")
     ap.add_argument("--tokenizer-dir", default=None,
-                    help="local transformers tokenizer dir(s); fallback: hash tokenizer")
+                    help="tokenizer dir — a transformers dir, a pipeline root "
+                         "with tokenizer{,_2,_3}/ subdirs, or one holding "
+                         "vocab.json+merges.txt (native C++ CLIP BPE)")
+    ap.add_argument("--allow-hash-tokenizer", action="store_true",
+                    help="permit the pseudo-random HashTokenizer when no "
+                         "--tokenizer-dir is given (smoke runs ONLY: text "
+                         "conditioning is garbage)")
     ap.add_argument("--max-train-steps", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None, help="per-chip batch")
     ap.add_argument("--resolution", type=int, default=None)
@@ -111,7 +117,6 @@ def main():
     from pcm_tpu.configs.families import RECIPES, sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.data.dataset import DataLoader, ImageFolderDataset, make_collate, shard_for_process
-    from pcm_tpu.data.tokenizer import HashTokenizer, HFTokenizer
     from pcm_tpu.parallel.mesh import make_mesh, replicate
     from pcm_tpu.train.adv import (
         SD3_DISC_CONFIG,
@@ -136,16 +141,21 @@ def main():
     enc_chunk = args.vae_encode_chunk
     if enc_chunk is None and res >= 1024 and batch > 1:
         enc_chunk = 1  # encoder first-convs are the HBM peak (docs/PERF.md)
+    # encode chunk is PER DATA SHARD (bundles._encode_chunked interleaves the
+    # global batch so no device idles during the chunked encode)
+    enc_shards = jax.device_count()
     if recipe.family == "sd15":
         bundle = sd15_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
-                             tiny=args.tiny, vae_encode_chunk=enc_chunk)
+                             tiny=args.tiny, vae_encode_chunk=enc_chunk,
+                             vae_encode_shards=enc_shards)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SD15_DISC_CONFIG
         tok_keys = ["input_ids"]
     elif recipe.family == "sdxl":
         bundle = sdxl_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
-                             tiny=args.tiny, vae_encode_chunk=enc_chunk)
+                             tiny=args.tiny, vae_encode_chunk=enc_chunk,
+                             vae_encode_shards=enc_shards)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SDXL_DISC_CONFIG
@@ -154,7 +164,8 @@ def main():
         bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial,
                             remat=use_remat, remat_policy=policy,
                             stochastic=recipe.stochastic, tiny=args.tiny,
-                            vae_encode_chunk=enc_chunk)
+                            vae_encode_chunk=enc_chunk,
+                            vae_encode_shards=enc_shards)
         schedule = make_flow_schedule(shift=3.0)
         build_plain, build_adv = build_flow_distill_step, build_flow_adv_steps
         disc_cfg = SD3_DISC_CONFIG
@@ -218,10 +229,14 @@ def main():
     # --- data ---
     # tokenizers are needed even in cached-latents mode (one-time uncond
     # empty-prompt encode below)
-    if args.tokenizer_dir:
-        toks = {k: HFTokenizer(args.tokenizer_dir) for k in tok_keys}
-    else:
-        toks = {k: HashTokenizer() for k in tok_keys}
+    from pcm_tpu.data.tokenizer import resolve_tokenizers
+
+    try:
+        # --tiny IS the smoke mode, so it implies the hash fallback
+        toks = resolve_tokenizers(args.tokenizer_dir, tok_keys,
+                                  allow_hash=args.allow_hash_tokenizer or args.tiny)
+    except FileNotFoundError as e:
+        ap.error(str(e))
     if args.cached_latents_dir:
         from pcm_tpu.data.dataset import CachedLatentsDataset, cached_collate
 

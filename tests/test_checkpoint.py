@@ -45,3 +45,24 @@ def test_restore_empty_dir_returns_template(tmp_path):
     out, step = mgr.restore(template)
     assert step is None and out is template
     mgr.close()
+
+
+def test_jax_array_committed_flag_still_exists():
+    """Trainer._try_resume keys its resume re-placement on jax.Array's private
+    ``_committed`` flag (train/loop.py:_is_committed). jax is unpinned; if an
+    upgrade renames the attribute the public fallback takes over silently —
+    this test makes the rename loud so the fallback gets re-validated against
+    the real resume path (round-3 ADVICE, medium)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcm_tpu.train.loop import _is_committed
+
+    uncommitted = jnp.ones((2,))  # eager op on the default device
+    committed = jax.device_put(jnp.ones((2,)), jax.local_devices()[0])
+    assert getattr(uncommitted, "_committed", None) is not None, (
+        "jax.Array._committed disappeared — re-validate loop._is_committed's "
+        "public fallback against a real single-chip resume before trusting it"
+    )
+    assert not _is_committed(uncommitted)
+    assert _is_committed(committed)

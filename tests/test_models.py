@@ -163,8 +163,49 @@ def test_vae_encode_chunked_matches_per_sample():
         np.asarray(whole),
         np.asarray(m.apply(vars_, x, rng, method=AutoencoderKL.encode)),
     )
-    with pytest.raises(ValueError):
-        _encode_chunked(m, vars_["params"], x, rng, chunk=3)
+    # ragged batch: head map (one chunk of 3) + unchunked tail of 1, matching
+    # the reference's ragged last VAE slice (sd15 train:1128-1133)
+    ragged = _encode_chunked(m, vars_["params"], x, rng, chunk=3)
+    k2 = jax.random.split(rng, 2)
+    direct_ragged = jnp.concatenate([
+        m.apply(vars_, x[:3], k2[0], method=AutoencoderKL.encode),
+        m.apply(vars_, x[3:], k2[1], method=AutoencoderKL.encode),
+    ])
+    np.testing.assert_allclose(
+        np.asarray(ragged), np.asarray(direct_ragged), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_vae_encode_chunked_shards_interleaves():
+    """With shards=S the chunk is per-shard: each map iteration encodes one
+    sample from EVERY shard's slice (so no data-parallel device idles), and
+    the output lands back in original batch order."""
+    from pcm_tpu.train.bundles import _encode_chunked
+
+    m = AutoencoderKL(TINY_VAE_CONFIG)
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 32, 32, 3), jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), x[:1])
+    rng = jax.random.PRNGKey(3)
+    out = _encode_chunked(m, vars_["params"], x, rng, chunk=1, shards=2)
+    # iteration i encodes original indices [i, per+i] = [i, 2+i] together
+    keys = jax.random.split(rng, 2)
+    rows = [
+        m.apply(vars_, jnp.stack([x[i], x[2 + i]]), keys[i],
+                method=AutoencoderKL.encode)
+        for i in range(2)
+    ]
+    direct = jnp.stack([rows[0][0], rows[1][0], rows[0][1], rows[1][1]])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(direct), rtol=1e-5, atol=1e-6
+    )
+    # batch not alignable with the shard count -> global-chunk fallback
+    x3 = x[:3]
+    fb = _encode_chunked(m, vars_["params"], x3, rng, chunk=1, shards=2)
+    np.testing.assert_allclose(
+        np.asarray(fb),
+        np.asarray(_encode_chunked(m, vars_["params"], x3, rng, chunk=2)),
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_vae_roundtrip_shapes():

@@ -63,3 +63,28 @@ def test_native_bpe_matches_transformers(toy_tokenizer_files):
         texts, padding="max_length", max_length=16, truncation=True, return_tensors="np"
     )["input_ids"]
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_resolve_tokenizers_routing(toy_tokenizer_files):
+    """CLI tokenizer resolution (round-3 VERDICT #8): CLIP towers pick the
+    native C++ BPE when vocab.json+merges.txt exist, the T5 tower stays on
+    transformers, and the hash fallback is opt-in with per-tower vocab bounds
+    (T5 ids must stay < 32128 or the embedding gather goes out of bounds)."""
+    import pytest
+
+    from pcm_tpu.data.native_tokenizer import NativeCLIPTokenizer
+    from pcm_tpu.data.tokenizer import HashTokenizer, resolve_tokenizers
+
+    d, bos, eos = toy_tokenizer_files
+    toks = resolve_tokenizers(d, ["input_ids", "input_ids_2"], max_length=16)
+    assert all(isinstance(t, NativeCLIPTokenizer) for t in toks.values())
+
+    with pytest.raises(FileNotFoundError):
+        resolve_tokenizers(None, ["input_ids"])
+
+    hashed = resolve_tokenizers(None, ["input_ids", "input_ids_3"], allow_hash=True)
+    assert isinstance(hashed["input_ids"], HashTokenizer)
+    ids3 = hashed["input_ids_3"](["a photo of a cat wearing a tiny hat"])
+    assert int(ids3.max()) < 32128
+    ids1 = hashed["input_ids"](["a photo of a cat wearing a tiny hat"])
+    assert int(ids1.max()) < 49408
