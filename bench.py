@@ -123,7 +123,7 @@ def _bench_cond(bundle, family, frozen, batch):
 
 def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str = "dots",
           adam: str = "8bit", weights: str = "bf16", mode: str = "train",
-          init: str = "device", encode_chunk=None):
+          init: str = "device", encode_chunk=None, remat_gran: str = "module"):
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.train.distill import (
@@ -154,13 +154,14 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         bundle = sdxl_bundle(
             lora_rank=lora_rank, remat=use_remat, remat_policy=policy,
             remat_levels=levels, vae_encode_chunk=encode_chunk,
+            remat_granularity=remat_gran,
         )
         cfg = DistillConfig(num_solver_steps=40, multiphase=4, w_min=6, w_max=7)
     elif family == "sd15":
         bundle = sd15_bundle(
             lora_rank=lora_rank, remat=use_remat, remat_policy=policy,
             remat_levels=(True, True, True, False) if remat == "hybrid" else None,
-            vae_encode_chunk=encode_chunk,
+            vae_encode_chunk=encode_chunk, remat_granularity=remat_gran,
         )
         cfg = DistillConfig(num_solver_steps=50, multiphase=4, w_min=4, w_max=5)
     elif family == "sd3":
@@ -404,6 +405,13 @@ def main():
                          "custom-vjp kernels re-run their oracle forward under "
                          "remat, ~8 vs ~6 matmul-units/layer); module defaults "
                          "elsewhere (pallas in train graphs; ops/common.py)")
+    ap.add_argument("--remat-gran", default="module", choices=["module", "block"],
+                    help="checkpoint boundary for the UNet transformer stacks: "
+                         "'module' = one region per Transformer2D (historical "
+                         "default), 'block' = one per BasicTransformerBlock — "
+                         "same recompute FLOPs, far lower backward peak on "
+                         "depth-10 SDXL stacks (the bs8 OOM was 10 live 160M "
+                         "GEGLU remat temps; models/unet.py)")
     ap.add_argument("--encode-chunk", type=int, default=None,
                     help="VAE-encode this many samples at a time inside the "
                          "train step (default: 1 at >=1024px when batch>1 — "
@@ -423,7 +431,7 @@ def main():
 
     bundle, frozen, state, step, batch = build(
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
-        args.weights, args.mode, args.init, args.encode_chunk,
+        args.weights, args.mode, args.init, args.encode_chunk, args.remat_gran,
     )
     if args.mode == "adv":
         return main_adv(args, frozen, state, step, batch)

@@ -146,6 +146,14 @@ class Transformer2D(nn.Module):
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
     lora: LoRASpec = NO_LORA
+    # checkpoint each BasicTransformerBlock instead of (the caller wrapping)
+    # this whole module: a module-level checkpoint over a depth-10 SDXL stack
+    # materializes every block's recomputed intermediates at once in the
+    # backward (~10 x 160M GEGLU temps at bs8 — the measured bs8 OOM), while
+    # block-level regions bound the peak to one block + a 20M boundary input
+    # per block, for identical recompute FLOPs.
+    remat_blocks: bool = False
+    remat_policy: Optional[str] = None  # ops/common.py:resolve_remat_policy
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
@@ -171,8 +179,18 @@ class Transformer2D(nn.Module):
             )(hidden)
             hidden = hidden.reshape(n, h * w, inner)
 
+        Block = BasicTransformerBlock
+        if self.remat_blocks:
+            from ..ops.common import resolve_remat_policy
+
+            kw = (
+                {"policy": resolve_remat_policy(self.remat_policy)}
+                if self.remat_policy
+                else {}
+            )
+            Block = nn.remat(BasicTransformerBlock, **kw)
         for i in range(self.depth):
-            hidden = BasicTransformerBlock(
+            hidden = Block(
                 inner,
                 self.heads,
                 self.head_dim,

@@ -15,6 +15,7 @@ sown into the ``features`` collection.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -104,6 +105,14 @@ class UNet2DCondition(nn.Module):
     # transformer stack dominates FLOPs, so this buys most of the no-remat
     # speed at a fraction of the memory (v5e measurements in bench.py)
     remat_levels: Optional[Tuple[bool, ...]] = None
+    # "module" checkpoints each whole Transformer2D/Resnet (historical
+    # default); "block" moves the transformer boundary inside, to each
+    # BasicTransformerBlock — same recompute FLOPs, but the backward's peak
+    # drops from all-of-a-depth-10-stack's temps to one block's (the measured
+    # bs8 SDXL OOM was 10 simultaneous 160M GEGLU remat temps). proj_in/out
+    # and the Transformer2D GroupNorm then stay out of any remat region
+    # (their residuals are one ~20M tensor each).
+    remat_granularity: str = "module"  # "module" | "block"
 
     @nn.compact
     def __call__(
@@ -125,9 +134,15 @@ class UNet2DCondition(nn.Module):
             do = self.remat and (
                 self.remat_levels is None or self.remat_levels[level]
             )
-            if do:
-                return nn.remat(ResnetBlock2D, **remat_kw), nn.remat(Transformer2D, **remat_kw)
-            return ResnetBlock2D, Transformer2D
+            if not do:
+                return ResnetBlock2D, Transformer2D
+            if self.remat_granularity == "block":
+                return nn.remat(ResnetBlock2D, **remat_kw), functools.partial(
+                    Transformer2D,
+                    remat_blocks=True,
+                    remat_policy=self.remat_policy,
+                )
+            return nn.remat(ResnetBlock2D, **remat_kw), nn.remat(Transformer2D, **remat_kw)
 
         # --- time embedding (fp32 sinusoid, then model dtype MLP) ---
         t_emb = sinusoidal_embedding(timesteps, ch0).astype(self.dtype)

@@ -126,17 +126,20 @@ class SD15Bundle:
     remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
     vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
     vae_encode_shards: int = 1  # data-mesh axis size: chunk is PER SHARD
+    remat_granularity: str = "module"  # "block" = per-transformer-block (models/unet.py)
 
     def __post_init__(self):
         object.__setattr__(
             self, "_student",
             UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat,
-                            self.remat_policy, self.remat_levels),
+                            self.remat_policy, self.remat_levels,
+                            remat_granularity=self.remat_granularity),
         )
         object.__setattr__(
             self, "_teacher",
             UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat,
-                            self.remat_policy, self.remat_levels),
+                            self.remat_policy, self.remat_levels,
+                            remat_granularity=self.remat_granularity),
         )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
@@ -226,17 +229,20 @@ class SDXLBundle:
     remat_levels: Optional[Tuple[bool, ...]] = None  # per-level mask (models/unet.py)
     vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
     vae_encode_shards: int = 1  # data-mesh axis size: chunk is PER SHARD
+    remat_granularity: str = "module"  # "block" = per-transformer-block (models/unet.py)
 
     def __post_init__(self):
         object.__setattr__(
             self, "_student",
             UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat,
-                            self.remat_policy, self.remat_levels),
+                            self.remat_policy, self.remat_levels,
+                            remat_granularity=self.remat_granularity),
         )
         object.__setattr__(
             self, "_teacher",
             UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat,
-                            self.remat_policy, self.remat_levels),
+                            self.remat_policy, self.remat_levels,
+                            remat_granularity=self.remat_granularity),
         )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))

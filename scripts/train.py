@@ -88,10 +88,15 @@ def main():
                          "the encoder's first convs are the HBM peak there; "
                          "0 disables). Mirrors the reference's chunked VAE "
                          "encode (sd15 train:1127-1135).")
-    ap.add_argument("--remat", default="full", choices=["full", "dots", "dots_small", "none"],
-                    help="gradient checkpointing: full=min memory, dots/dots_small="
-                         "keep (small) matmul outputs for a faster bwd, "
-                         "none=fastest (needs HBM)")
+    ap.add_argument("--remat", default="full",
+                    help="gradient checkpointing: full=min memory, dots/"
+                         "dots_small/dots<N>m=keep (<=N MiB) matmul outputs "
+                         "for a faster bwd, none=fastest (needs HBM)")
+    ap.add_argument("--remat-gran", default="block", choices=["module", "block"],
+                    help="UNet transformer checkpoint boundary (models/"
+                         "unet.py): 'block' (default) bounds the backward "
+                         "peak to one BasicTransformerBlock; 'module' is the "
+                         "historical whole-Transformer2D region")
     ap.add_argument("--tiny", action="store_true",
                     help="swap every model for its TINY_* config: a seconds-"
                          "long end-to-end smoke of the full CLI path (data, "
@@ -112,7 +117,11 @@ def main():
         init_distributed()
 
     use_remat = args.remat != "none"
-    policy = args.remat if args.remat in ("dots", "dots_small") else None
+    policy = args.remat if args.remat.startswith("dots") else None
+    if policy is not None:
+        from pcm_tpu.ops.common import resolve_remat_policy
+
+        resolve_remat_policy(policy)  # validate the name before building
 
     from pcm_tpu.configs.families import RECIPES, sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
@@ -147,7 +156,8 @@ def main():
     if recipe.family == "sd15":
         bundle = sd15_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
                              tiny=args.tiny, vae_encode_chunk=enc_chunk,
-                             vae_encode_shards=enc_shards)
+                             vae_encode_shards=enc_shards,
+                             remat_granularity=args.remat_gran)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SD15_DISC_CONFIG
@@ -155,7 +165,8 @@ def main():
     elif recipe.family == "sdxl":
         bundle = sdxl_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
                              tiny=args.tiny, vae_encode_chunk=enc_chunk,
-                             vae_encode_shards=enc_shards)
+                             vae_encode_shards=enc_shards,
+                             remat_granularity=args.remat_gran)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SDXL_DISC_CONFIG
