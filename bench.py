@@ -123,7 +123,8 @@ def _bench_cond(bundle, family, frozen, batch):
 
 def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str = "dots",
           adam: str = "8bit", weights: str = "bf16", mode: str = "train",
-          init: str = "device", encode_chunk=None, remat_gran: str = "module"):
+          init: str = "device", encode_chunk=None, remat_gran: str = "module",
+          cached: bool = False):
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.train.distill import (
@@ -230,6 +231,66 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         step = (g_step, d_step, d_state, split_fns)
 
     rng = np.random.RandomState(0)
+    if cached:
+        # cached-latents workload (scripts/cache_latents.py + train.py
+        # --cached-latents-dir): the batch carries precomputed VAE latents +
+        # text embeddings, the step's encoder towers are sliced out at trace
+        # time (bundles.encode key-presence branch), and the frozen VAE/text
+        # params are dropped from the step args entirely — XLA DCEs unused
+        # jit parameters, freeing their HBM for looser remat caps.
+        assert mode == "train", "--cached-latents supports train mode only"
+        lat_hw = resolution // 8
+        mcfg = bundle.unet_cfg if family != "sd3" else bundle.mmdit_cfg
+        lat_c = mcfg.in_channels
+        batch_data = {
+            "latents": jnp.asarray(
+                rng.randn(batch, lat_hw, lat_hw, lat_c), jnp.bfloat16
+            ),
+        }
+        if family == "sd15":
+            batch_data["prompt_embeds"] = jnp.asarray(
+                rng.randn(batch, 77, mcfg.cross_attention_dim), jnp.bfloat16
+            )
+            batch_data["uncond_embeds"] = jnp.zeros(
+                (batch, 77, mcfg.cross_attention_dim), jnp.bfloat16
+            )
+        elif family == "sdxl":
+            pooled_dim = mcfg.addition_in_dim - 6 * mcfg.addition_embed_dim
+            batch_data["prompt_embeds"] = jnp.asarray(
+                rng.randn(batch, 77, mcfg.cross_attention_dim), jnp.bfloat16
+            )
+            batch_data["pooled_embeds"] = jnp.asarray(
+                rng.randn(batch, pooled_dim), jnp.bfloat16
+            )
+            batch_data["time_ids"] = jnp.tile(
+                jnp.asarray(
+                    [[resolution, resolution, 0, 0, resolution, resolution]],
+                    jnp.float32,
+                ),
+                (batch, 1),
+            )
+        else:  # sd3
+            batch_data["prompt_embeds"] = jnp.asarray(
+                rng.randn(batch, 154, mcfg.joint_attention_dim), jnp.bfloat16
+            )
+            batch_data["pooled_embeds"] = jnp.asarray(
+                rng.randn(batch, mcfg.pooled_projection_dim), jnp.bfloat16
+            )
+            batch_data["uncond_embeds"] = jnp.zeros(
+                (batch, 154, mcfg.joint_attention_dim), jnp.bfloat16
+            )
+            batch_data["uncond_pooled"] = jnp.zeros(
+                (batch, mcfg.pooled_projection_dim), jnp.bfloat16
+            )
+        # drop the now-unused towers (empty subtrees keep the dict keys the
+        # encode() branch never touches); the deleted device arrays free as
+        # their last references die here
+        frozen = dict(frozen)
+        for k in ("vae", "text", "text2", "text3"):
+            if k in frozen:
+                frozen[k] = ()
+        return bundle, frozen, state, step, batch_data
+
     batch_data = {
         "pixel_values": jnp.asarray(
             rng.rand(batch, resolution, resolution, 3) * 2 - 1, jnp.bfloat16
@@ -412,6 +473,16 @@ def main():
                          "same recompute FLOPs, far lower backward peak on "
                          "depth-10 SDXL stacks (the bs8 OOM was 10 live 160M "
                          "GEGLU remat temps; models/unet.py)")
+    ap.add_argument("--cached-latents", action="store_true",
+                    help="benchmark the cached-latents train step (latents + "
+                         "text embeds precomputed once per dataset, scripts/"
+                         "cache_latents.py): the VAE/text towers leave the "
+                         "step and their params leave HBM. vs_baseline still "
+                         "credits the reference its FULL per-step work — the "
+                         "reference re-encodes every step by design (sd15 "
+                         "train:1121-1135); the caveat is our one-time encode "
+                         "pass over the fixed dataset, amortized across the "
+                         "20k-step recipes (BASELINE.md)")
     ap.add_argument("--encode-chunk", type=int, default=None,
                     help="VAE-encode this many samples at a time inside the "
                          "train step (default: 1 at >=1024px when batch>1 — "
@@ -432,6 +503,7 @@ def main():
     bundle, frozen, state, step, batch = build(
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
         args.weights, args.mode, args.init, args.encode_chunk, args.remat_gran,
+        args.cached_latents,
     )
     if args.mode == "adv":
         return main_adv(args, frozen, state, step, batch)
@@ -506,6 +578,7 @@ def main():
         flops_source=flops_source,
         algo_flops_per_sample=(algo_flops / args.batch
                                if np.isfinite(algo_flops) else None),
+        workload="cached_latents" if args.cached_latents else None,
     )
 
 
