@@ -9,8 +9,8 @@
 set -e
 cd "$(dirname "$0")/.."
 case "${1:-quick}" in
-  quick) exec time python -m pytest -q ;;
-  slow)  exec time python -m pytest -q -m slow ;;
-  all)   exec time python -m pytest -q -m "" ;;
+  quick) time python -m pytest -q ;;
+  slow)  time python -m pytest -q -m slow ;;
+  all)   time python -m pytest -q -m "" ;;
   *) echo "usage: $0 [quick|slow|all]" >&2; exit 2 ;;
 esac
