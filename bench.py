@@ -405,7 +405,9 @@ def _emit(metric: str, value: float, vs_baseline, unit: str = "samples/sec/chip"
 def _remat_arg(v: str) -> str:
     import re
 
-    if v in ("hybrid", "none", "dots", "dots_small", "full") or re.fullmatch(r"dots\d+m", v):
+    if v in ("hybrid", "none", "dots", "dots_small", "full") or re.fullmatch(
+        r"dots\d+m(\+fa)?", v
+    ):
         return v
     raise argparse.ArgumentTypeError(f"bad remat policy {v!r}")
 

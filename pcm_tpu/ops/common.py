@@ -103,6 +103,16 @@ def resolve_remat_policy(name):
     """
     if name is None:
         return None
+    if name.endswith("+fa"):
+        # additionally save the flash-attention out+lse residuals (named in
+        # ops/flash_attention.py:_flash_fwd_rule): the backward recompute
+        # then DCEs the O(S^2) forward kernels. Costs ~o-sized residency per
+        # attention call; pair with a dots cap that leaves the headroom.
+        base = resolve_remat_policy(name[: -len("+fa")])
+        return jax.checkpoint_policies.save_from_both_policies(
+            base,
+            jax.checkpoint_policies.save_only_these_names("fa_out", "fa_lse"),
+        )
     policies = {
         "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         "dots_small": _dots_below(16 * 2**20),

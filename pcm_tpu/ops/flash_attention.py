@@ -329,6 +329,15 @@ def _flash_attention_bhsd(q, k, v, sm_scale, interpret, block_q=None, block_k=No
 
 def _flash_fwd_rule(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
     o, lse = _fwd(q, k, v, sm_scale, interpret, block_q, block_k)
+    # Residuals are checkpoint-named so a remat policy can elect to save them
+    # ("dots<N>m+fa", ops/common.py): with o+lse resident, the backward's
+    # recompute pass DCEs the O(S^2) forward kernel entirely — q/k/v are
+    # cheap projection dots it recomputes anyway. Identity when no policy
+    # references the names.
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "fa_out")
+    lse = checkpoint_name(lse, "fa_lse")
     return o, (q, k, v, o, lse)
 
 
