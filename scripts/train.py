@@ -82,6 +82,13 @@ def main():
                     help="int8 = store frozen teacher/text kernels as "
                          "weight-only quantized int8 (per-channel scales; VAE "
                          "stays bf16) — frees HBM for lighter --remat")
+    ap.add_argument("--int8-no-grad-fwd", action="store_true",
+                    help="run the gradient-free forwards (CFG teacher + "
+                         "stop-grad target) with int8 MXU dots on the "
+                         "quantized frozen weights (requires "
+                         "--frozen-weights int8); the differentiated "
+                         "student keeps exact bf16 math "
+                         "(DistillConfig.int8_no_grad_fwd)")
     ap.add_argument("--vae-encode-chunk", type=int, default=None,
                     help="VAE-encode this many samples at a time inside the "
                          "jitted step (default: 1 at >=1024px when batch>1 - "
@@ -142,6 +149,15 @@ def main():
     from pcm_tpu.train.state import TrainState, make_optimizer
 
     recipe = RECIPES[args.recipe]
+    if args.int8_no_grad_fwd:
+        import dataclasses as _dc
+
+        if args.frozen_weights != "int8":
+            raise SystemExit("--int8-no-grad-fwd requires --frozen-weights int8 "
+                             "(it quantizes activations against QTensor kernels)")
+        recipe = _dc.replace(
+            recipe, distill=_dc.replace(recipe.distill, int8_no_grad_fwd=True)
+        )
     res = args.resolution or recipe.resolution
     batch = args.batch_size or recipe.batch_per_chip
     max_steps = args.max_train_steps or recipe.max_steps
