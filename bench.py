@@ -448,7 +448,7 @@ def main():
                          "host->device transfer; default, CPU backend always "
                          "uses cache) or the host treecache + device_put path")
     ap.add_argument("--int8-matmul", nargs="?", const="fused", default=None,
-                    choices=["dense", "fused", "scoped"],
+                    choices=["dense", "fused", "scoped", "none"],
                     help="compute QTensor-weighted dense matmuls on the int8 "
                          "MXU path (activation quantization; pair with "
                          "--weights int8). 'fused' (default value) = the "
@@ -508,6 +508,18 @@ def main():
         # the remat recompute. The historical remote-compiler SIGKILL on
         # XLA-inlined remat graphs did not reproduce on this compile.
         args.elementwise = "xla"
+    if args.int8_matmul is None and args.family == "sdxl" and args.mode == "train":
+        # headline default: frozen-weight dense matmuls on the int8 MXU path
+        # (QLoRA-style — the base weights are already stored int8 by default;
+        # 'dense' computes with them at int8x int8->int32 instead of
+        # dequantizing to bf16). Measured 2026-08-19 (queue r4-3 bs4_i8d):
+        # 2336 ms / vs_baseline 0.897 (33.75% MFU) vs 2444 ms / 0.857 bf16 at
+        # bs4/dots8m/xla-elementwise. The differentiated LoRA path and all
+        # convs stay bf16; --int8-matmul none restores bf16 compute, and
+        # 'scoped' confines int8 to the gradient-free teacher/target forwards.
+        args.int8_matmul = "dense"
+    if args.int8_matmul == "none":
+        args.int8_matmul = None
 
     if args.mode == "infer":
         return main_infer(args)
