@@ -311,7 +311,10 @@ class Trainer:
             self._run_steps(cfg, rng, _next_batch)
         finally:
             feed_stop.set()  # unblocks the feeder within its 0.5 s put timeout
-        if self._stop_requested and self.global_step % cfg.checkpointing_steps != 0:
+        if self._stop_requested and (
+            not cfg.checkpointing_steps
+            or self.global_step % cfg.checkpointing_steps != 0
+        ):
             self.logger.log(self.global_step, {"preempted": 1.0})
         self._save()
         self.ckpt.wait()
@@ -384,13 +387,14 @@ class Trainer:
                         raise FloatingPointError(
                             f"non-finite loss at step {self.global_step}: {bad} "
                             f"(last checkpoint: step "
-                            f"{self.global_step - self.global_step % cfg.checkpointing_steps})"
+                            f"{self.global_step - self.global_step % cfg.checkpointing_steps if cfg.checkpointing_steps else 0})"
                         )
 
-            if self.global_step % cfg.checkpointing_steps == 0:
+            if cfg.checkpointing_steps and self.global_step % cfg.checkpointing_steps == 0:
                 self._save()
 
-            if self.validation_fn is not None and self.global_step % cfg.validation_steps == 0:
+            if (self.validation_fn is not None and cfg.validation_steps
+                    and self.global_step % cfg.validation_steps == 0):
                 images = self.validation_fn(self.frozen, self.g_state.params, self.global_step)
                 if isinstance(images, dict):
                     # tagged grids, e.g. one per guidance scale — mirrors the

@@ -83,12 +83,24 @@ def main():
                          "weight-only quantized int8 (per-channel scales; VAE "
                          "stays bf16) — frees HBM for lighter --remat")
     ap.add_argument("--int8-no-grad-fwd", action="store_true",
-                    help="run the gradient-free forwards (CFG teacher + "
-                         "stop-grad target) with int8 MXU dots on the "
-                         "quantized frozen weights (requires "
-                         "--frozen-weights int8); the differentiated "
-                         "student keeps exact bf16 math "
-                         "(DistillConfig.int8_no_grad_fwd)")
+                    help="alias for --int8-matmul scoped (kept for "
+                         "compatibility)")
+    ap.add_argument("--int8-matmul", default=None,
+                    choices=["scoped", "dense", "fused"],
+                    help="compute QTensor-weighted dense matmuls on the int8 "
+                         "MXU path (requires --frozen-weights int8). "
+                         "'scoped' = only the gradient-free forwards (CFG "
+                         "teacher + stop-grad target); the differentiated "
+                         "student keeps exact bf16 math. 'dense' = every "
+                         "frozen dense dot incl. the student forward "
+                         "(QLoRA-style W8A8; LoRA + convs stay bf16 — the "
+                         "bench.py SDXL headline config, 2336 ms vs 2444 ms "
+                         "bf16 at bs4/1024px). 'fused' = the Pallas in-VMEM "
+                         "activation-quant kernel incl. pointwise convs "
+                         "(measured REGRESSION on full SDXL graphs, "
+                         "docs/PERF.md — bisect only). dense/fused also "
+                         "apply to validation sampling (same dispatch "
+                         "context for the whole run)")
     ap.add_argument("--vae-encode-chunk", type=int, default=None,
                     help="VAE-encode this many samples at a time inside the "
                          "jitted step (default: 1 at >=1024px when batch>1 - "
@@ -149,15 +161,19 @@ def main():
     from pcm_tpu.train.state import TrainState, make_optimizer
 
     recipe = RECIPES[args.recipe]
-    if args.int8_no_grad_fwd:
-        import dataclasses as _dc
-
+    if args.int8_no_grad_fwd and args.int8_matmul is None:
+        args.int8_matmul = "scoped"
+    if args.int8_matmul:
         if args.frozen_weights != "int8":
-            raise SystemExit("--int8-no-grad-fwd requires --frozen-weights int8 "
-                             "(it quantizes activations against QTensor kernels)")
-        recipe = _dc.replace(
-            recipe, distill=_dc.replace(recipe.distill, int8_no_grad_fwd=True)
-        )
+            raise SystemExit(f"--int8-matmul {args.int8_matmul} requires "
+                             "--frozen-weights int8 (it quantizes activations "
+                             "against QTensor kernels)")
+        if args.int8_matmul == "scoped":
+            import dataclasses as _dc
+
+            recipe = _dc.replace(
+                recipe, distill=_dc.replace(recipe.distill, int8_no_grad_fwd=True)
+            )
     res = args.resolution or recipe.resolution
     batch = args.batch_size or recipe.batch_per_chip
     max_steps = args.max_train_steps or recipe.max_steps
@@ -442,7 +458,15 @@ def main():
 
         trainer.validation_fn = validation_fn
 
-    trainer.run(iter(loader), extra_batch_fn)
+    if args.int8_matmul in ("dense", "fused"):
+        # trace-time dispatch flag: every QTensor dense dot traced inside
+        # (train steps AND validation sampling) takes the int8 MXU path
+        from pcm_tpu.utils.quant import int8_matmul
+
+        with int8_matmul(which=args.int8_matmul):
+            trainer.run(iter(loader), extra_batch_fn)
+    else:
+        trainer.run(iter(loader), extra_batch_fn)
 
 
 if __name__ == "__main__":

@@ -162,6 +162,28 @@ def test_trainer_nonfinite_loss_guard(tmp_path):
     trainer2.ckpt.close()
 
 
+def test_trainer_zero_checkpointing_and_validation_steps(tmp_path):
+    """checkpointing_steps=0 / validation_steps=0 mean 'never', not
+    ZeroDivisionError (hit by smoke runs that disable both)."""
+    import itertools
+
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(_dummy_lora(), tx)
+
+    def step_fn(state, frozen, batch, rng):
+        return state.replace(step=state.step + 1), {"loss": jnp.float32(0.1)}
+
+    loop_cfg = LoopConfig(
+        output_dir=str(tmp_path / "nockpt_run"), max_train_steps=3,
+        checkpointing_steps=0, validation_steps=0, log_every=1,
+    )
+    trainer = Trainer(loop_cfg, {}, state, step_fn=step_fn)
+    trainer.validation_fn = lambda *a: pytest.fail("validation must not run")
+    g_state, _ = trainer.run(itertools.repeat({"x": np.zeros((1,), np.float32)}))
+    assert int(g_state.step) == 3
+    trainer.ckpt.close()
+
+
 def test_trainer_preemption_sigterm(tmp_path):
     """SIGTERM mid-run (a TPU-pod preemption) checkpoints the in-flight step
     and returns cleanly; a fresh Trainer resumes at that exact step. The

@@ -104,6 +104,31 @@ def test_eval_fid_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_tiny_int8_dense(tmp_path):
+    """--frozen-weights int8 + --int8-matmul dense through the CLI: the
+    QLoRA-style W8A8 path the bench headline uses (bench.py default),
+    now first-class in production training. Finite losses + checkpoint
+    land; --checkpointing-steps 0 / --validation-steps 0 mean 'never'."""
+    data = tmp_path / "data"
+    out = tmp_path / "run"
+    _make_dataset(str(data), n=4)
+    r = _run_cli([
+        "--recipe", "sd15_4phase", "--tiny",
+        "--train-data-dir", str(data), "--output-dir", str(out),
+        "--max-train-steps", "3", "--batch-size", "2", "--resolution", "32",
+        "--checkpointing-steps", "0", "--validation-steps", "0",
+        "--log-every", "1", "--dataloader-workers", "1",
+        "--frozen-weights", "int8", "--int8-matmul", "dense",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    rows = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
+    assert rows and all(np.isfinite(row["loss"]) for row in rows if "loss" in row)
+    # 0 means never: no periodic checkpoints, only the final save
+    ckpts = sorted(os.listdir(out / "checkpoints"))
+    assert ckpts == ["3"], ckpts
+
+
+@pytest.mark.slow
 def test_cache_latents_then_train_from_cache(tmp_path):
     """The fixed-dataset pipeline end-to-end: scripts/cache_latents.py --tiny
     writes shard_*.npz, then scripts/train.py --cached-latents-dir trains
