@@ -603,6 +603,9 @@ def main():
         algo_flops_per_sample=(algo_flops / args.batch
                                if np.isfinite(algo_flops) else None),
         workload="cached_latents" if args.cached_latents else None,
+        config=f"bs{args.batch} remat={args.remat}/{args.remat_gran} "
+               f"weights={args.weights} int8_matmul={args.int8_matmul or 'none'} "
+               f"elementwise={args.elementwise or 'pallas'}",
     )
 
 
