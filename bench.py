@@ -248,7 +248,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         # time (bundles.encode key-presence branch), and the frozen VAE/text
         # params are dropped from the step args entirely — XLA DCEs unused
         # jit parameters, freeing their HBM for looser remat caps.
-        assert mode == "train", "--cached-latents supports train mode only"
+        assert mode in ("train", "adv"), "--cached-latents: train/adv modes only"
         lat_hw = resolution // 8
         mcfg = bundle.unet_cfg if family != "sd3" else bundle.mmdit_cfg
         lat_c = mcfg.in_channels
@@ -712,10 +712,23 @@ def main_adv(args, frozen, g_state, steps, batch):
         vs_baseline = samples_per_sec / (2 * args.batch / ref_pair)
         print(f"# flops/pair={flops:.3e}  v5e MFU={flops/pair_dt/197e12:.2%}",
               file=sys.stderr)
+    if args.cached_latents and np.isfinite(flops):
+        # cached adv accounting is CONSERVATIVE: both sides of vs_baseline use
+        # the cached graph's measured flops, so the reference gets no credit
+        # for the per-step re-encode it actually performs in BOTH parities
+        # (train_pcm_lora_sdxl_adv.py:1482-1532) — unlike the train headline's
+        # remat-free full-step constant. Gains here are pure MFU.
+        print("# note: cached-latents adv vs_baseline credits the reference "
+              "only the cached graph's flops (no re-encode credit)",
+              file=sys.stderr)
     _emit(
         f"{args.family} {args.resolution}px adversarial PCM-LoRA distill samples/sec/chip",
         samples_per_sec, vs_baseline,
         flops_source="measured_cost_analysis" if np.isfinite(flops) else None,
+        workload="cached_latents" if args.cached_latents else None,
+        config=f"bs{args.batch} remat={args.remat}/{args.remat_gran} "
+               f"weights={args.weights} int8_matmul={args.int8_matmul or 'none'} "
+               f"elementwise={args.elementwise or 'pallas'} d_graph={args.d_graph}",
     )
 
 

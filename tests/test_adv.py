@@ -83,6 +83,69 @@ def test_sd15_adv_steps():
     assert max(moved) > 0
 
 
+def test_sd15_adv_steps_cached_latents():
+    """Adv G/D steps off a cached-latents batch with the VAE/text towers
+    DROPPED from the frozen tree (empty subtrees) — the bench.py / train-CLI
+    cached-latents production path. encode() must branch on the batch keys
+    and the traced steps must never touch frozen['vae']/['text']."""
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG)
+
+    disc_cfg = DiscriminatorConfig(
+        taps=("down_0", "down_1", "mid", "up_0", "up_1"), num_h_per_head=2, kernel=3
+    )
+    disc = Discriminator(disc_cfg)
+    rng = np.random.RandomState(0)
+    bsz = 2
+    ids = jnp.asarray(rng.randint(1, 999, size=(bsz, 16)))
+    cond = bundle.encode_prompts(frozen, ids)
+    d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), IMG // 2, cond)
+
+    batch = {
+        "latents": jnp.asarray(
+            rng.randn(bsz, IMG // 2, IMG // 2, TINY_UNET_CONFIG.in_channels),
+            jnp.float32,
+        ),
+        "prompt_embeds": cond["prompt_embeds"],
+        "uncond_embeds": jnp.zeros((bsz, 16, 32)),
+    }
+    frozen_cached = dict(frozen)
+    frozen_cached["vae"] = ()
+    frozen_cached["text"] = ()
+
+    tx_g = make_optimizer(1e-3)
+    tx_d = make_optimizer(1e-3, b1=0.0)
+    g_state = TrainState.create(lora, tx_g)
+    d_state = TrainState.create(d_params, tx_d)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2)
+    g_step, d_step = build_ddim_adv_steps(
+        bundle, make_ddpm_schedule(), cfg, AdvConfig(0.1), disc, tx_g, tx_d
+    )
+
+    d_state2, dm = jax.jit(d_step)(g_state, d_state, frozen_cached, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(dm["d_loss"]))
+    g_state2, gm = jax.jit(g_step)(g_state, d_state2, frozen_cached, batch, jax.random.PRNGKey(1))
+    for k in ("loss", "loss_cm", "g_loss"):
+        assert np.isfinite(float(gm[k])), k
+    moved = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(g_state.params), jax.tree.leaves(g_state2.params))
+    ]
+    assert max(moved) > 0
+
+    # identical math to the full-tree call: cached keys shadow the encoders,
+    # so the dropped towers change nothing
+    d_ref, dm_ref = jax.jit(d_step)(g_state, d_state, frozen, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(dm_ref["d_loss"]), float(dm["d_loss"]), rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_sd3_adv_steps():
     clip_sd3 = CLIPTextConfig(
