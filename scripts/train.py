@@ -59,6 +59,14 @@ def main():
     ap.add_argument("--cached-latents-dir", default=None,
                     help="dir of shard_*.npz from scripts/cache_latents.py; "
                          "skips VAE/text encoders inside the train step")
+    ap.add_argument("--offload-encoders", action="store_true",
+                    help="(cached-latents mode) after the one-time setup "
+                         "encodes, DROP the VAE/text tower params from the "
+                         "step's frozen tree — frees ~1 GiB HBM at SDXL scale "
+                         "for looser --remat caps / bigger batch (the bench.py "
+                         "cached-latents headline envelope). A host copy of "
+                         "the VAE is re-uploaded per validation call (the "
+                         "text conds are pre-encoded at setup)")
     ap.add_argument("--gradient-accumulation-steps", type=int, default=1)
     ap.add_argument("--use-8bit-adam", action="store_true",
                     help="blockwise int8 Adam moments (ref --use_8bit_adam)")
@@ -129,6 +137,9 @@ def main():
     args = ap.parse_args()
     if not args.train_data_dir and not args.cached_latents_dir:
         ap.error("one of --train-data-dir / --cached-latents-dir is required")
+    if args.offload_encoders and not args.cached_latents_dir:
+        ap.error("--offload-encoders requires --cached-latents-dir (the "
+                 "train step must not need the encoder towers)")
 
     if args.multihost:
         from pcm_tpu.parallel.mesh import init_distributed
@@ -457,6 +468,39 @@ def main():
             return out
 
         trainer.validation_fn = validation_fn
+
+    if args.offload_encoders:
+        # Every consumer of the towers has run: one-time uncond embeds,
+        # discriminator head init, and the pre-encoded validation conds
+        # (vconds/vuncond above). Dropping the tower params from the frozen
+        # tree frees their HBM (the cached-latents step never touches them —
+        # the same envelope bench.py's cached-latents headline measures);
+        # only the VAE is needed again, per validation call, for the decode —
+        # keep a host copy and re-upload on demand (~8 s/call for the SDXL
+        # VAE through the remote tunnel, amortized over validation_steps).
+        host_vae = (jax.device_get(trainer.frozen["vae"])
+                    if "vae" in trainer.frozen else None)
+        for tree in ((frozen,) if trainer.frozen is frozen
+                     else (frozen, trainer.frozen)):
+            # mutate IN PLACE: main's locals and any setup closures keep
+            # references to the dict itself, so replacing the values is what
+            # actually releases the device arrays (empty subtrees keep the
+            # keys so the step's pytree structure stays stable)
+            for tower in ("vae", "text", "text2", "text3"):
+                if tower in tree:
+                    tree[tower] = ()
+        inner_val = trainer.validation_fn
+        if inner_val is not None and host_vae is not None:
+            def offloaded_val(frozen_, lora_, step_):
+                full = dict(frozen_)
+                full["vae"] = (replicate(host_vae, mesh) if mesh is not None
+                               else jax.device_put(host_vae))
+                try:
+                    return inner_val(full, lora_, step_)
+                finally:
+                    del full  # the uploaded VAE dies with its last reference
+
+            trainer.validation_fn = offloaded_val
 
     if args.int8_matmul in ("dense", "fused"):
         # trace-time dispatch flag: every QTensor dense dot traced inside

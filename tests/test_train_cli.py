@@ -152,13 +152,20 @@ def test_cache_latents_then_train_from_cache(tmp_path):
     r = _run_cli([
         "--recipe", "sd15_4phase", "--tiny",
         "--cached-latents-dir", str(cache), "--output-dir", str(out),
-        "--max-train-steps", "3", "--batch-size", "2", "--resolution", "32",
-        "--checkpointing-steps", "1000", "--validation-steps", "1000",
+        "--max-train-steps", "4", "--batch-size", "2", "--resolution", "32",
+        "--checkpointing-steps", "1000", "--validation-steps", "4",
         "--log-every", "1", "--dataloader-workers", "2",
+        # offload: towers leave the step's frozen tree after setup; the
+        # validation at step 4 re-uploads the host VAE copy for its decode
+        "--offload-encoders",
+        "--validation-prompts", "a tiny test image",
     ])
     assert r.returncode == 0, r.stderr[-3000:]
     rows = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
     assert rows and all(np.isfinite(row["loss"]) for row in rows if "loss" in row)
+    # the validation grid rendered through the offloaded-VAE path
+    vals = list((out / "images").rglob("*.png"))
+    assert vals, "validation images missing under the offloaded-encoder path"
 
 
 @pytest.mark.slow
