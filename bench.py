@@ -519,26 +519,31 @@ def main():
         # the remat recompute. The historical remote-compiler SIGKILL on
         # XLA-inlined remat graphs did not reproduce on this compile.
         args.elementwise = "xla"
-    if args.int8_matmul is None and args.family == "sdxl" and args.mode == "train":
-        # headline default: frozen-weight dense matmuls on the int8 MXU path
-        # (QLoRA-style — the base weights are already stored int8 by default;
-        # 'dense' computes with them at int8x int8->int32 instead of
-        # dequantizing to bf16). Measured 2026-08-19 (queue r4-3 bs4_i8d):
+    if args.cached_latents is None:
+        # headline default: the cached-latents production workload. Measured
+        # 2026-08-19: 1925 ms / 2.078 samples/s / vs_baseline 1.088 (39.7% hw
+        # MFU) at bs4/dots8m/xla-ew (bf16 compute) vs 2336 ms / 0.897 for the
+        # same graph with per-step VAE+text re-encode (int8-dense compute).
+        # vs_baseline still credits the reference its full per-step re-encode
+        # (see --cached-latents help for the accounting caveat).
+        args.cached_latents = (args.family == "sdxl" and args.mode == "train")
+    if args.int8_matmul is None and args.family == "sdxl" and args.mode == "train" \
+            and not args.cached_latents:
+        # full-workload default: frozen-weight dense matmuls on the int8 MXU
+        # path (QLoRA-style — the base weights are already stored int8 by
+        # default; 'dense' computes with them at int8 x int8 -> int32 instead
+        # of dequantizing to bf16). Measured 2026-08-19 (queue r4-3 bs4_i8d):
         # 2336 ms / vs_baseline 0.897 (33.75% MFU) vs 2444 ms / 0.857 bf16 at
         # bs4/dots8m/xla-elementwise. The differentiated LoRA path and all
         # convs stay bf16; --int8-matmul none restores bf16 compute, and
         # 'scoped' confines int8 to the gradient-free teacher/target forwards.
+        # NOT defaulted for the cached-latents headline: that combination's
+        # compile SIGKILLs the remote compile helper (2026-08-19 23:02, fresh
+        # box — 14.2 MB MLIR; the historical big-graph kill), so the shipped
+        # default stays the measured, compilable bf16-compute graph.
         args.int8_matmul = "dense"
     if args.int8_matmul == "none":
         args.int8_matmul = None
-    if args.cached_latents is None:
-        # headline default: the cached-latents production workload. Measured
-        # 2026-08-19 (queues r4-3/r4-4): 1925 ms / 2.078 samples/s /
-        # vs_baseline 1.088 (39.7% hw MFU) at bs4/dots8m/xla-ew/int8-dense vs
-        # 2336 ms / 0.897 for the same graph with per-step VAE+text re-encode.
-        # vs_baseline still credits the reference its full per-step re-encode
-        # (see --cached-latents help for the accounting caveat).
-        args.cached_latents = (args.family == "sdxl" and args.mode == "train")
 
     if args.mode == "infer":
         return main_infer(args)
