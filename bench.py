@@ -512,12 +512,12 @@ def main():
                          "the encoder's first convs are the HBM peak there; "
                          "0 disables chunking)")
     args = ap.parse_args()
-    if args.elementwise is None and args.family == "sdxl" and args.mode == "train":
+    if args.elementwise is None and args.family == "sdxl" and args.mode in ("train", "adv"):
         # headline default: XLA-inlined GEGLU/GroupNorm. Measured 2026-08-19
         # (queue7 bs4_d8_xlaew): 2449 ms vs 2627 ms Pallas at bs4/dots8m —
         # the Pallas custom-vjp backward re-runs its oracle forward on top of
-        # the remat recompute. The historical remote-compiler SIGKILL on
-        # XLA-inlined remat graphs did not reproduce on this compile.
+        # the remat recompute. Also the default for SDXL adv mode: the r4
+        # adversarial headline (1882 ms/pair split-D) was measured with it.
         args.elementwise = "xla"
     if args.cached_latents is None:
         # headline default: the cached-latents production workload. Measured
