@@ -155,7 +155,11 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         # HBM peak at bs>=4 (three 1.0G temps at bs4 — full-step OOM by 59M)
         encode_chunk = 1
     use_remat = remat != "none"
-    policy = remat if remat.startswith("dots") else None
+    # named policies pass through (dots*, nothing+fa = save ONLY the flash-
+    # attention residuals — the bs4 +fa OOM margin was cap-insensitive, 427M
+    # at both dots8m+fa and dots4m+fa, so dropping all saved dots is the next
+    # probe); "full"/"hybrid" keep policy=None (save-nothing inside regions)
+    policy = remat if (remat.startswith("dots") or remat == "nothing+fa") else None
     levels = (True, True, False) if remat == "hybrid" else None
     if family == "sdxl":
         bundle = sdxl_bundle(
@@ -417,7 +421,7 @@ def _emit(metric: str, value: float, vs_baseline, unit: str = "samples/sec/chip"
 def _remat_arg(v: str) -> str:
     import re
 
-    if v in ("hybrid", "none", "dots", "dots_small", "full") or re.fullmatch(
+    if v in ("hybrid", "none", "dots", "dots_small", "full", "nothing+fa") or re.fullmatch(
         r"dots\d+m(\+fa)?", v
     ):
         return v
@@ -443,7 +447,8 @@ def main():
     ap.add_argument("--remat", default="dots8m", type=_remat_arg,
                     help="none | full | hybrid | dots | dots_small | dots<N>m "
                          "(save dot outputs <= N MiB; tighter cap for larger "
-                         "batches)")
+                         "batches) | dots<N>m+fa / nothing+fa (also/only save "
+                         "flash-attention residuals)")
     ap.add_argument("--adam", default="8bit", choices=["8bit", "fp32"])
     ap.add_argument("--weights", default="int8", choices=["bf16", "int8"],
                     help="frozen-weight storage; int8 = weight-only quantized "
