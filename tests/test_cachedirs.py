@@ -64,3 +64,32 @@ def test_setup_compile_cache_points_jax_at_dir(monkeypatch, tmp_path):
         assert jax.config.jax_compilation_cache_dir == path
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_compile_lock_reentrant_and_exclusive(tmp_path):
+    """compile_lock: reentrant within a process (nested lower/compile pairs
+    take it once) and exclusive across holders — the bench-vs-pytest
+    serialization that replaces the 'nothing CPU-heavy during compiles'
+    notes-file rule (ROUND4_NOTES 16/19)."""
+    import fcntl
+    import subprocess
+    import sys
+
+    from pcm_tpu.utils import compilelock
+
+    lock = tmp_path / "l"
+    with compilelock.compile_lock("outer", path=str(lock)):
+        with compilelock.compile_lock("inner", path=str(lock)):
+            # another process must NOT be able to take it while we hold it
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import fcntl,os,sys;"
+                 f"fd=os.open({str(lock)!r}, os.O_CREAT|os.O_RDWR);"
+                 "fcntl.flock(fd, fcntl.LOCK_EX|fcntl.LOCK_NB)"],
+                capture_output=True,
+            ).returncode
+            assert rc != 0
+    # released on exit: non-blocking acquire now succeeds in-process
+    fd = __import__("os").open(str(lock), __import__("os").O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    __import__("os").close(fd)
