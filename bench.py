@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pcm_tpu.utils.cachedirs import setup_compile_cache, tree_cache_dir
+from pcm_tpu.utils.compilelock import compile_lock
 
 setup_compile_cache()
 
@@ -52,9 +53,11 @@ REF_ASSUMED_MFU = 0.20  # see module docstring
 # Remat-free per-sample step FLOPs, from XLA cost analysis of the compiled
 # remat=none step on the v5e (see module docstring; keys: (family, mode,
 # resolution)). bs1 remat=none SDXL-1024: 3.267e13 flops (BENCH_r02.json run).
+# Constants are calibrated at the family's default LoRA rank (CALIB_RANK).
 ALGO_FLOPS_PER_SAMPLE = {
     ("sdxl", "train", 1024): 3.267e13,
 }
+CALIB_RANK = {"sdxl": 64, "sd15": 64, "sd3": 32}
 
 
 def _init_weights(bundle, family: str, lora_rank: int, weights: str,
@@ -130,7 +133,8 @@ def _bench_cond(bundle, family, frozen, batch):
 def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str = "dots",
           adam: str = "8bit", weights: str = "bf16", mode: str = "train",
           init: str = "device", encode_chunk=None, remat_gran: str = "module",
-          cached: bool = False, int8_scoped: bool = False):
+          cached: bool = False, int8_scoped: bool = False,
+          scan_blocks: bool = False):
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.train.distill import (
@@ -165,7 +169,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         bundle = sdxl_bundle(
             lora_rank=lora_rank, remat=use_remat, remat_policy=policy,
             remat_levels=levels, vae_encode_chunk=encode_chunk,
-            remat_granularity=remat_gran,
+            remat_granularity=remat_gran, scan_blocks=scan_blocks,
         )
         cfg = DistillConfig(num_solver_steps=40, multiphase=4, w_min=6, w_max=7)
     elif family == "sd15":
@@ -173,6 +177,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
             lora_rank=lora_rank, remat=use_remat, remat_policy=policy,
             remat_levels=(True, True, True, False) if remat == "hybrid" else None,
             vae_encode_chunk=encode_chunk, remat_granularity=remat_gran,
+            scan_blocks=scan_blocks,
         )
         cfg = DistillConfig(num_solver_steps=50, multiphase=4, w_min=4, w_max=5)
     elif family == "sd3":
@@ -236,13 +241,22 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
         g_step, d_step = adv_builder(
             bundle, schedule, cfg, AdvConfig(0.1), disc, tx, tx_d
         )
-        from pcm_tpu.train.adv import build_ddim_adv_d_split, build_flow_adv_d_split
+        from pcm_tpu.train.adv import (
+            build_ddim_adv_d_split,
+            build_ddim_adv_fused_pair,
+            build_flow_adv_d_split,
+            build_flow_adv_fused_pair,
+        )
 
         split_builder = (
             build_flow_adv_d_split if family == "sd3" else build_ddim_adv_d_split
         )
         split_fns = split_builder(bundle, schedule, cfg, AdvConfig(0.1), disc, tx_d)
-        step = (g_step, d_step, d_state, split_fns)
+        fused_builder = (
+            build_flow_adv_fused_pair if family == "sd3" else build_ddim_adv_fused_pair
+        )
+        pair_fn = fused_builder(bundle, schedule, cfg, AdvConfig(0.1), disc, tx, tx_d)
+        step = (g_step, d_step, d_state, split_fns, pair_fn)
 
     rng = np.random.RandomState(0)
     if cached:
@@ -477,7 +491,16 @@ def main():
     ap.add_argument("--steps", type=int, default=2, help="inference steps (infer mode)")
     ap.add_argument("--d-graph", default="mono", choices=["mono", "split"],
                     help="adv mode: compile the D step monolithically or as "
-                         "the split feature-pass + head-update pair")
+                         "the split feature-pass + head-update pair "
+                         "(--adv-pairing fresh only)")
+    ap.add_argument("--adv-pairing", default=None, choices=["fused", "fresh"],
+                    help="adv mode: 'fused' (default) = one batch feeds both "
+                         "the D and G update via a single prepare + student "
+                         "forward + joint backward (build_*_adv_fused_pair — "
+                         "the reference recomputes the full pipeline per "
+                         "parity purely as an eager-torch artifact); 'fresh' "
+                         "= the reference-faithful alternation, each parity "
+                         "on its own batch")
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="VAE-decode this many samples at a time (infer mode; "
                          "bounds decoder memory so batch can exceed 4 at 1024px)")
@@ -489,6 +512,14 @@ def main():
                          "custom-vjp kernels re-run their oracle forward under "
                          "remat, ~8 vs ~6 matmul-units/layer); module defaults "
                          "elsewhere (pallas in train graphs; ops/common.py)")
+    ap.add_argument("--scan-blocks", action="store_true",
+                    help="lax.scan each Transformer2D's block stack (one "
+                         "traced block per stack): several-fold smaller MLIR "
+                         "and compile time — the enabler for policies whose "
+                         "unrolled graphs SIGKILL the axon compile helper "
+                         "(nothing+fa, dots16m+ at block gran). Implies "
+                         "block-granular remat inside the scan; param layout "
+                         "is the stacked scan layout (bench-only trees)")
     ap.add_argument("--remat-gran", default="module", choices=["module", "block"],
                     help="checkpoint boundary for the UNet transformer stacks: "
                          "'module' = one region per Transformer2D (historical "
@@ -540,15 +571,18 @@ def main():
         # convs stay bf16; --int8-matmul none restores bf16 compute, and
         # 'scoped' confines int8 to the gradient-free teacher/target forwards.
         # Measured at bs4/dots8m/xla-elementwise:
-        #   full re-encode workload (2026-08-19, queue r4-3): 2336 ms /
-        #     vs_baseline 0.897 (33.75% hw MFU) vs 2444 ms / 0.857 bf16.
-        #   cached-latents headline (2026-08-20, same box): 1925.2 ms /
-        #     vs_baseline 1.088 (39.67% hw MFU) vs 2033.7 ms / 1.03 bf16.
-        # The 2026-08-19 23:02 compile SIGKILL on this combination was
-        # contention flakiness, not the graph: the identical compile passed
-        # uncontended in 1378.7 s (and the kill reproduced on the bf16
-        # DEFAULT graph next to a 20-min pytest run, ROUND4_NOTES 19) — so
-        # never run CPU-heavy work while a bench graph compiles.
+        #   full re-encode workload (2026-08-19, queue r4-3, same-box A/B):
+        #     2336 ms / vs_baseline 0.897 (33.75% hw MFU) vs 2444 ms /
+        #     0.857 bf16.
+        #   cached-latents headline: 1925.2 ms / vs_baseline 1.088 (39.67%
+        #     hw MFU); the bf16 comparison (1925.3 / 2033.7 ms) is
+        #     CROSS-BOX and within the ~5% inter-box variance — on the
+        #     cached workload int8-dense is "parity or better" (ADVICE r4;
+        #     docs/PERF.md).
+        # Compile SIGKILLs on this box are contention-correlated but also
+        # reproduce uncontended on ~14 MB-MLIR graphs (nothing+fa, 06-30
+        # log) — keep CPU quiet during bench compiles (utils/compilelock)
+        # AND keep headline graphs' MLIR small.
         args.int8_matmul = "dense"
     if args.int8_matmul == "none":
         args.int8_matmul = None
@@ -560,16 +594,22 @@ def main():
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
         args.weights, args.mode, args.init, args.encode_chunk, args.remat_gran,
         args.cached_latents, int8_scoped=(args.int8_matmul == "scoped"),
+        scan_blocks=args.scan_blocks,
     )
     if args.mode == "adv":
+        if args.adv_pairing is None:
+            args.adv_pairing = "fused"
+        if args.adv_pairing == "fused":
+            return main_adv_fused(args, frozen, state, step, batch)
         return main_adv(args, frozen, state, step, batch)
     rng = jax.random.PRNGKey(0)
 
     t0 = time.time()
     jstep = jax.jit(step, donate_argnums=(0,))
-    with _trace_contexts(args):  # dispatches are decided at trace time
-        lowered = jstep.lower(state, frozen, batch, rng)
-    compiled = lowered.compile()
+    with compile_lock("train step"):
+        with _trace_contexts(args):  # dispatches are decided at trace time
+            lowered = jstep.lower(state, frozen, batch, rng)
+        compiled = lowered.compile()
     print(f"# compile: {time.time()-t0:.1f}s", file=sys.stderr)
     try:
         flops_per_step = float(compiled.cost_analysis()["flops"])
@@ -599,10 +639,12 @@ def main():
     # math) — config knobs that change algorithmic FLOPs fall back to the
     # measured count so the headline can't silently reuse a stale constant
     # (round-3 ADVICE #3); provenance is recorded in the emitted JSON.
+    eff_rank = min(args.lora_rank, 32) if args.family == "sd3" else args.lora_rank
     algo_per_sample = ALGO_FLOPS_PER_SAMPLE.get((args.family, "train", args.resolution))
-    if algo_per_sample is not None and args.lora_rank != 64:
-        print(f"# note: algo-flops constant calibrated at lora_rank=64; "
-              f"rank {args.lora_rank} uses the measured count", file=sys.stderr)
+    if algo_per_sample is not None and eff_rank != CALIB_RANK[args.family]:
+        print(f"# note: algo-flops constant calibrated at lora_rank="
+              f"{CALIB_RANK[args.family]}; rank {eff_rank} uses the measured "
+              "count", file=sys.stderr)
         algo_per_sample = None
     flops_source = None
     if algo_per_sample is not None:
@@ -637,6 +679,89 @@ def main():
         workload="cached_latents" if args.cached_latents else None,
         config=f"bs{args.batch} remat={args.remat}/{args.remat_gran} "
                f"weights={args.weights} int8_matmul={args.int8_matmul or 'none'} "
+               f"elementwise={args.elementwise or 'pallas'}"
+               + (" scan_blocks" if args.scan_blocks else ""),
+    )
+
+
+def main_adv_fused(args, frozen, g_state, steps, batch):
+    """Fused adversarial pair: ONE batch feeds both the D and G update
+    through a single prepare + differentiable student forward + joint
+    backward (`train/adv.py:build_*_adv_fused_pair`). Per pair this is the
+    same update count as the reference's alternation (one D + one G update
+    over `batch` samples each) at ~2/3 the compute — the reference re-runs
+    its full pipeline per parity (`train_pcm_lora_sdxl_adv.py:1482-1532`).
+
+    Accounting: samples/sec counts UPDATE-samples (2×batch per pair — batch
+    through the D update + batch through the G update), the same quantity
+    the fresh-batch mode counts. vs_baseline credits the reference two full
+    per-step pipelines per pair (2×batch × the remat-free train-step
+    constant) and — conservatively — NOTHING for its GAN feature forwards
+    and head work; without a constant for the shape it falls back to OUR
+    fused graph's measured flops (a strict under-credit)."""
+    *_, d_state, _, pair_fn = steps
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    jp = jax.jit(pair_fn, donate_argnums=(0, 1))
+    with compile_lock("adv fused pair"), _trace_contexts(args):
+        cp = jp.lower(g_state, d_state, frozen, batch, rng).compile()
+    print(f"# compile (fused pair): {time.time()-t0:.1f}s", file=sys.stderr)
+    try:
+        flops = float(cp.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+
+    g_state, d_state, m = cp(g_state, d_state, frozen, batch, rng)
+    g0, d0 = float(m["loss"]), float(m["d_loss"])
+    t0 = time.time()
+    _ = float(m["d_loss"])
+    t_fence = time.time() - t0
+
+    t0 = time.time()
+    for i in range(args.iters):
+        g_state, d_state, m = cp(
+            g_state, d_state, frozen, batch, jax.random.fold_in(rng, i)
+        )
+    _ = float(m["d_loss"])
+    pair_dt = max(time.time() - t0 - t_fence, 1e-9) / args.iters
+    samples_per_sec = 2 * args.batch / pair_dt
+    print(f"# fused pair: {pair_dt*1000:.1f}ms  loss={g0:.4f} d_loss={d0:.4f}",
+          file=sys.stderr)
+    if np.isfinite(flops):
+        print(f"# flops/pair={flops:.3e}  v5e MFU={flops/pair_dt/197e12:.2%}",
+              file=sys.stderr)
+
+    eff_rank = min(args.lora_rank, 32) if args.family == "sd3" else args.lora_rank
+    algo = ALGO_FLOPS_PER_SAMPLE.get((args.family, "train", args.resolution))
+    if algo is not None and eff_rank != CALIB_RANK[args.family]:
+        algo = None
+    if algo is not None:
+        ref_pair_flops = 2 * args.batch * algo
+        flops_source = "constant_remat_free_x2parities_noGAN"
+    elif np.isfinite(flops):
+        ref_pair_flops = flops
+        flops_source = "measured_fused_graph"
+        print("# note: no remat-free constant for this shape — the reference "
+              "is credited only OUR fused graph's flops (a strict "
+              "under-credit: it runs two full pipelines per pair)",
+              file=sys.stderr)
+    else:
+        ref_pair_flops = float("nan")
+        flops_source = None
+    if np.isfinite(ref_pair_flops):
+        ref_pair_time = ref_pair_flops / (A800_PEAK_FLOPS * REF_ASSUMED_MFU)
+        vs_baseline = samples_per_sec / (2 * args.batch / ref_pair_time)
+    else:
+        vs_baseline = float("nan")
+    _emit(
+        f"{args.family} {args.resolution}px adversarial PCM-LoRA distill samples/sec/chip",
+        samples_per_sec, vs_baseline,
+        flops_source=flops_source,
+        workload="cached_latents" if args.cached_latents else None,
+        pairing="fused",
+        config=f"bs{args.batch} remat={args.remat}/{args.remat_gran} "
+               f"weights={args.weights} int8_matmul={args.int8_matmul or 'none'} "
                f"elementwise={args.elementwise or 'pallas'}",
     )
 
@@ -646,20 +771,20 @@ def main_adv(args, frozen, g_state, steps, batch):
     reference's global-step parity switch (`train_pcm_lora_sdxl_adv.py:
     1482-1532`). One optimizer update per step; a G+D pair consumes
     2×batch samples."""
-    g_step, d_step, d_state, split_fns = steps
+    g_step, d_step, d_state, split_fns, _ = steps
     rng = jax.random.PRNGKey(0)
 
     t0 = time.time()
     jg = jax.jit(g_step, donate_argnums=(0,))
     jd = jax.jit(d_step, donate_argnums=(1,))
-    with _trace_contexts(args):
+    with compile_lock("adv G step"), _trace_contexts(args):
         cg = jg.lower(g_state, d_state, frozen, batch, rng).compile()
     cd = split = None
     d_flops = float("nan")
     try:
         if args.d_graph == "split":
             raise RuntimeError("--d-graph split requested")
-        with _trace_contexts(args):
+        with compile_lock("adv D step"), _trace_contexts(args):
             cd = jd.lower(g_state, d_state, frozen, batch, rng).compile()
         d_flops = float(cd.cost_analysis()["flops"])
     except Exception as e:  # remote compiler SIGKILLs big graphs sometimes
@@ -673,7 +798,7 @@ def main_adv(args, frozen, g_state, steps, batch):
             feats_fn, update_fn = split_fns
             jff = jax.jit(feats_fn)
             juf = jax.jit(update_fn, donate_argnums=(0,))
-            with _trace_contexts(args):
+            with compile_lock("adv split-D"), _trace_contexts(args):
                 cff = jff.lower(g_state, d_state, frozen, batch, rng).compile()
                 ff0, rf0 = jax.eval_shape(feats_fn, g_state, d_state, frozen, batch, rng)
                 cuf = juf.lower(d_state, ff0, rf0).compile()
@@ -787,7 +912,7 @@ def main_infer(args):
     )
     t0 = time.time()
     jrun = jax.jit(run)
-    with _trace_contexts(args):
+    with compile_lock("infer pipeline"), _trace_contexts(args):
         compiled = jrun.lower(frozen, lora, cond, jax.random.PRNGKey(0)).compile()
     print(f"# compile: {time.time()-t0:.1f}s", file=sys.stderr)
     try:

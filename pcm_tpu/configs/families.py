@@ -49,7 +49,8 @@ _TINY_T5 = T5Config(
 def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
                 remat_policy=None, remat_levels=None, tiny: bool = False,
                 vae_encode_chunk=None, vae_encode_shards: int = 1,
-                remat_granularity: str = "module") -> SD15Bundle:
+                remat_granularity: str = "module",
+                scan_blocks: bool = False) -> SD15Bundle:
     return SD15Bundle(
         unet_cfg=TINY_UNET_CONFIG if tiny else SD15_CONFIG,
         vae_cfg=TINY_VAE_CONFIG if tiny else SD15_VAE_CONFIG,
@@ -62,13 +63,15 @@ def sd15_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
         vae_encode_chunk=vae_encode_chunk,
         vae_encode_shards=vae_encode_shards,
         remat_granularity=remat_granularity,
+        scan_blocks=scan_blocks,
     )
 
 
 def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
                 remat_policy=None, remat_levels=None, tiny: bool = False,
                 vae_encode_chunk=None, vae_encode_shards: int = 1,
-                remat_granularity: str = "module") -> SDXLBundle:
+                remat_granularity: str = "module",
+                scan_blocks: bool = False) -> SDXLBundle:
     return SDXLBundle(
         unet_cfg=TINY_SDXL_CONFIG if tiny else SDXL_CONFIG,
         vae_cfg=TINY_VAE_CONFIG if tiny else SDXL_VAE_CONFIG,
@@ -82,6 +85,7 @@ def sdxl_bundle(lora_rank: int = 64, dtype=jnp.bfloat16, remat: bool = True,
         vae_encode_chunk=vae_encode_chunk,
         vae_encode_shards=vae_encode_shards,
         remat_granularity=remat_granularity,
+        scan_blocks=scan_blocks,
     )
 
 

@@ -130,6 +130,44 @@ class BasicTransformerBlock(nn.Module):
         return x
 
 
+class _ScanBlockBody(nn.Module):
+    """nn.scan body for Transformer2D's block stack: carry = hidden states,
+    broadcast = context. One traced BasicTransformerBlock regardless of depth
+    (params stacked on a leading axis by nn.scan's variable_axes)."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    cross_attention_dim: int
+    dtype: jnp.dtype = jnp.float32
+    lora: LoRASpec = NO_LORA
+    remat: bool = False
+    remat_policy: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, context: jnp.ndarray):
+        Block = BasicTransformerBlock
+        if self.remat:
+            from ..ops.common import resolve_remat_policy
+
+            kw = (
+                {"policy": resolve_remat_policy(self.remat_policy)}
+                if self.remat_policy
+                else {}
+            )
+            Block = nn.remat(BasicTransformerBlock, **kw)
+        hidden = Block(
+            self.dim,
+            self.heads,
+            self.head_dim,
+            self.cross_attention_dim,
+            dtype=self.dtype,
+            lora=self.lora,
+            name="block",
+        )(hidden, context)
+        return hidden, None
+
+
 class Transformer2D(nn.Module):
     """Spatial transformer wrapping N BasicTransformerBlocks.
 
@@ -154,6 +192,15 @@ class Transformer2D(nn.Module):
     # per block, for identical recompute FLOPs.
     remat_blocks: bool = False
     remat_policy: Optional[str] = None  # ops/common.py:resolve_remat_policy
+    # lax.scan over the depth-d block stack instead of a Python loop: the
+    # traced program carries ONE block body (the SDXL-1024 full step's ~14 MB
+    # MLIR — ~70 unrolled blocks x 3-4 forwards — SIGKILLs the axon compile
+    # helper; scan cuts both MLIR size and compile time several-fold). Params
+    # gain a leading (depth,) axis under `blocks_scan/block/...` — a DIFFERENT
+    # layout from the unrolled `transformer_blocks_{i}/...` (converter/kohya
+    # interop stays on the unrolled layout; scan is the perf-graph option).
+    # The scan carry boundary doubles as the block-granular remat boundary.
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
@@ -189,16 +236,36 @@ class Transformer2D(nn.Module):
                 else {}
             )
             Block = nn.remat(BasicTransformerBlock, **kw)
-        for i in range(self.depth):
-            hidden = Block(
+        if self.scan_blocks and self.depth > 1:
+            Scanned = nn.scan(
+                _ScanBlockBody,
+                variable_axes={"params": 0, "lora": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,  # context
+                length=self.depth,
+            )
+            hidden, _ = Scanned(
                 inner,
                 self.heads,
                 self.head_dim,
                 self.cross_attention_dim,
                 dtype=self.dtype,
                 lora=self.lora,
-                name=f"transformer_blocks_{i}",
+                remat=self.remat_blocks,
+                remat_policy=self.remat_policy,
+                name="blocks_scan",
             )(hidden, context)
+        else:
+            for i in range(self.depth):
+                hidden = Block(
+                    inner,
+                    self.heads,
+                    self.head_dim,
+                    self.cross_attention_dim,
+                    dtype=self.dtype,
+                    lora=self.lora,
+                    name=f"transformer_blocks_{i}",
+                )(hidden, context)
 
         if self.use_linear_projection:
             hidden = LoRADense(c, dtype=self.dtype, lora=self.lora, name="proj_out")(hidden)

@@ -113,6 +113,12 @@ class UNet2DCondition(nn.Module):
     # and the Transformer2D GroupNorm then stay out of any remat region
     # (their residuals are one ~20M tensor each).
     remat_granularity: str = "module"  # "module" | "block"
+    # lax.scan over each Transformer2D's block stack (attention.py
+    # _ScanBlockBody): one traced block per stack instead of depth-d unrolled
+    # copies — several-fold smaller MLIR/compile time for the SDXL-1024 step.
+    # Param layout changes (stacked `blocks_scan/block/...`), so this is the
+    # perf-graph option; converter/kohya interop stays on the unrolled layout.
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -134,11 +140,19 @@ class UNet2DCondition(nn.Module):
             do = self.remat and (
                 self.remat_levels is None or self.remat_levels[level]
             )
+            Xf2D = (
+                functools.partial(Transformer2D, scan_blocks=True)
+                if self.scan_blocks
+                else Transformer2D
+            )
             if not do:
-                return ResnetBlock2D, Transformer2D
-            if self.remat_granularity == "block":
+                return ResnetBlock2D, Xf2D
+            if self.remat_granularity == "block" or self.scan_blocks:
+                # scan mode always remats at the block/carry boundary: a
+                # module-level checkpoint AROUND the scan would re-run the
+                # whole stack per block gradient in the reverse scan
                 return nn.remat(ResnetBlock2D, **remat_kw), functools.partial(
-                    Transformer2D,
+                    Xf2D,
                     remat_blocks=True,
                     remat_policy=self.remat_policy,
                 )

@@ -237,6 +237,105 @@ def build_ddim_adv_steps(
     return g_step, d_step
 
 
+def build_ddim_adv_fused_pair(
+    bundle,
+    schedule: DDPMSchedule,
+    cfg: DistillConfig,
+    adv: AdvConfig,
+    disc: Discriminator,
+    tx_g,
+    tx_d,
+    grad_accum_steps: int = 1,
+) -> Callable:
+    """One fused D+G update per batch — the TPU-native adversarial step.
+
+    The reference's parity alternation (`train_pcm_lora_sdxl_adv.py:1482-1532`)
+    runs the FULL data + CFG-teacher + target pipeline twice per D/G pair —
+    once per parity, each on a fresh batch — purely because eager torch makes
+    sharing awkward; the D parity recomputes everything just to renoise its
+    outputs. Here one batch's prepare (teacher ODE step + stop-grad target)
+    and one differentiable student forward feed BOTH updates, and one joint
+    backward produces both gradient sets with `stop_gradient` walls keeping
+    the math identical to the alternating steps:
+
+      - d_loss sees stop_grad(fake features) -> no D-loss gradient leaks into
+        the LoRA (exactly the unfused d_step, which stop-grads model_pred);
+      - g_loss sees stop_grad(D params)      -> no G-loss gradient reaches the
+        heads (the unfused g_step updates only LoRA).
+
+    Per pair this saves one full prepare (CFG teacher 2B + target B), one
+    student forward, and one B-size feature forward vs the fresh-batch
+    alternation (~1/3 of the pair); both updates train on the same batch
+    (standard same-batch GAN practice) and are applied simultaneously from
+    pre-update params, vs the reference's one-step-stale alternation. Update
+    counts per sample are identical; only the data pairing differs, so the
+    reference-faithful alternation stays available (`build_ddim_adv_steps`).
+    """
+    solver = PhasedDDIMSolver.create(schedule, cfg.num_solver_steps)
+    boundaries = jnp.asarray(phase_boundaries(cfg.num_solver_steps, cfg.multiphase))
+    stop_after_mid = not any(t.startswith("up") for t in disc.cfg.taps)
+    span = schedule.num_train_timesteps // cfg.multiphase
+
+    def pair_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, g_state.step)
+
+        def grad_fn(mb, r):
+            r, r_adv = jax.random.split(r)
+            parts = ddim_prepare(
+                bundle, schedule, solver, boundaries, cfg, frozen, g_state.params, mb, r
+            )
+            r_t, r_fake, r_real = jax.random.split(r_adv, 3)
+            bsz = parts["end_t"].shape[0]
+            adv_t = jnp.minimum(
+                parts["end_t"] + jax.random.randint(r_t, (bsz,), 0, span),
+                schedule.num_train_timesteps - 1,
+            )
+            eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+            eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+            real = schedule.noise_travel(parts["target"], eps_real, parts["end_t"], adv_t)
+            # real branch carries no gradients for either player -> outside
+            # the differentiated region entirely
+            real_feats = bundle.teacher_features(
+                frozen, real, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+            )
+
+            def loss_fn(lora, dp):
+                model_pred = ddim_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+                cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+                fake = schedule.noise_travel(model_pred, eps_fake, parts["end_t"], adv_t)
+                fake_feats = bundle.teacher_features(
+                    frozen, fake, adv_t, parts["cond"], stop_after_mid=stop_after_mid
+                )
+                g = hinge_g_loss(
+                    disc.apply({"params": jax.lax.stop_gradient(dp)}, fake_feats)
+                )
+                fake_sg = jax.tree.map(jax.lax.stop_gradient, fake_feats)
+                d = hinge_d_loss(
+                    disc.apply({"params": dp}, fake_sg),
+                    disc.apply({"params": dp}, real_feats),
+                )
+                return cm + adv.adv_weight * g + d, (cm, g, d)
+
+            (_, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(g_state.params, d_state.params)
+            return aux, grads
+
+        (cm, g, d), (g_grads, d_grads) = accumulate_grads(
+            grad_fn, batch, rng, grad_accum_steps
+        )
+        new_g = _apply_updates(g_state, g_grads, tx_g)
+        new_d = _apply_updates(d_state, d_grads, tx_d)
+        metrics = {
+            "loss": cm + adv.adv_weight * g, "loss_cm": cm, "g_loss": g,
+            "d_loss": d, "grad_norm": _grad_norm(g_grads),
+            "d_grad_norm": _grad_norm(d_grads),
+        }
+        return new_g, new_d, metrics
+
+    return pair_step
+
+
 # ---------------------------------------------------------------------------
 # flow family (SD3) adversarial steps
 # ---------------------------------------------------------------------------
@@ -436,6 +535,76 @@ def build_flow_adv_steps(
         return new_state, {"d_loss": loss, "d_grad_norm": _grad_norm(grads)}
 
     return g_step, d_step
+
+
+def build_flow_adv_fused_pair(
+    bundle,
+    schedule: FlowSchedule,
+    cfg: DistillConfig,
+    adv: AdvConfig,
+    disc: Discriminator,
+    tx_g,
+    tx_d,
+    grad_accum_steps: int = 1,
+) -> Callable:
+    """Flow-family (SD3) analog of `build_ddim_adv_fused_pair`: one batch,
+    one prepare, one differentiable student forward; joint backward with
+    stop-gradient walls yields both the LoRA and the head gradients
+    (renoise algebra: `train_pcm_lora_sd3_adv.py:1446-1453`)."""
+    solver = PhasedEulerSolver.create(schedule, cfg.num_solver_steps)
+    span = cfg.num_solver_steps // cfg.multiphase
+
+    def pair_step(g_state: TrainState, d_state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, g_state.step)
+
+        def grad_fn(mb, r):
+            r, r_adv = jax.random.split(r)
+            parts = flow_prepare(bundle, schedule, solver, cfg, frozen, g_state.params, mb, r)
+            r_t, r_fake, r_real = jax.random.split(r_adv, 3)
+            end_index = parts["end_index"]
+            bsz = end_index.shape[0]
+            adv_index = end_index + jax.random.randint(r_t, (bsz,), 0, span)
+            sig_end = _bcast(solver.sigmas_prev[end_index], parts["latents"].ndim)
+            sig_adv = _bcast(solver.sigmas_prev[adv_index], parts["latents"].ndim)
+            t_adv = solver.sigmas_prev[adv_index] * schedule.num_train_timesteps
+            eps_fake = jax.random.normal(r_fake, parts["latents"].shape, parts["latents"].dtype)
+            eps_real = jax.random.normal(r_real, parts["latents"].shape, parts["latents"].dtype)
+            real = _flow_renoise(parts["target"], eps_real, sig_end, sig_adv)
+            real_feats = bundle.teacher_features(frozen, real, t_adv, parts["cond"])
+
+            def loss_fn(lora, dp):
+                model_pred = flow_model_pred(bundle, schedule, solver, cfg, frozen, lora, parts)
+                cm = consistency_loss(model_pred, parts["target"], cfg.loss_type, cfg.huber_c)
+                fake = _flow_renoise(model_pred, eps_fake, sig_end, sig_adv)
+                fake_feats = bundle.teacher_features(frozen, fake, t_adv, parts["cond"])
+                g = hinge_g_loss(
+                    disc.apply({"params": jax.lax.stop_gradient(dp)}, fake_feats)
+                )
+                fake_sg = jax.tree.map(jax.lax.stop_gradient, fake_feats)
+                d = hinge_d_loss(
+                    disc.apply({"params": dp}, fake_sg),
+                    disc.apply({"params": dp}, real_feats),
+                )
+                return cm + adv.adv_weight * g + d, (cm, g, d)
+
+            (_, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(g_state.params, d_state.params)
+            return aux, grads
+
+        (cm, g, d), (g_grads, d_grads) = accumulate_grads(
+            grad_fn, batch, rng, grad_accum_steps
+        )
+        new_g = _apply_updates(g_state, g_grads, tx_g)
+        new_d = _apply_updates(d_state, d_grads, tx_d)
+        metrics = {
+            "loss": cm + adv.adv_weight * g, "loss_cm": cm, "g_loss": g,
+            "d_loss": d, "grad_norm": _grad_norm(g_grads),
+            "d_grad_norm": _grad_norm(d_grads),
+        }
+        return new_g, new_d, metrics
+
+    return pair_step
 
 
 def init_discriminator(disc: Discriminator, bundle, frozen, rng, latent_hw: int, cond):

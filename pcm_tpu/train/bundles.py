@@ -127,19 +127,22 @@ class SD15Bundle:
     vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
     vae_encode_shards: int = 1  # data-mesh axis size: chunk is PER SHARD
     remat_granularity: str = "module"  # "block" = per-transformer-block (models/unet.py)
+    scan_blocks: bool = False  # lax.scan the transformer stacks (models/unet.py)
 
     def __post_init__(self):
         object.__setattr__(
             self, "_student",
             UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat,
                             self.remat_policy, self.remat_levels,
-                            remat_granularity=self.remat_granularity),
+                            remat_granularity=self.remat_granularity,
+                            scan_blocks=self.scan_blocks),
         )
         object.__setattr__(
             self, "_teacher",
             UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat,
                             self.remat_policy, self.remat_levels,
-                            remat_granularity=self.remat_granularity),
+                            remat_granularity=self.remat_granularity,
+                            scan_blocks=self.scan_blocks),
         )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))
@@ -230,19 +233,22 @@ class SDXLBundle:
     vae_encode_chunk: Optional[int] = None  # bound encoder peak (see _encode_chunked)
     vae_encode_shards: int = 1  # data-mesh axis size: chunk is PER SHARD
     remat_granularity: str = "module"  # "block" = per-transformer-block (models/unet.py)
+    scan_blocks: bool = False  # lax.scan the transformer stacks (models/unet.py)
 
     def __post_init__(self):
         object.__setattr__(
             self, "_student",
             UNet2DCondition(self.unet_cfg, self.dtype, self.lora, self.remat,
                             self.remat_policy, self.remat_levels,
-                            remat_granularity=self.remat_granularity),
+                            remat_granularity=self.remat_granularity,
+                            scan_blocks=self.scan_blocks),
         )
         object.__setattr__(
             self, "_teacher",
             UNet2DCondition(self.unet_cfg, self.dtype, NO_LORA, self.remat,
                             self.remat_policy, self.remat_levels,
-                            remat_granularity=self.remat_granularity),
+                            remat_granularity=self.remat_granularity,
+                            scan_blocks=self.scan_blocks),
         )
         object.__setattr__(self, "_vae", AutoencoderKL(self.vae_cfg, self.dtype))
         object.__setattr__(self, "_text", CLIPTextModel(self.text_cfg, self.dtype))

@@ -80,6 +80,7 @@ class Trainer:
         g_state: TrainState,
         step_fn: Callable = None,
         adv_steps: Optional[tuple] = None,  # (g_step, d_step)
+        pair_step: Optional[Callable] = None,  # fused D+G (adv.py fused pair)
         d_state: Optional[TrainState] = None,
         mesh=None,
         validation_fn: Optional[Callable] = None,
@@ -90,8 +91,15 @@ class Trainer:
         self.d_state = d_state
         self.mesh = mesh
         self.validation_fn = validation_fn
-        self.adversarial = adv_steps is not None
-        if self.adversarial:
+        self.adversarial = adv_steps is not None or pair_step is not None
+        self._pair = None
+        if pair_step is not None:
+            # fused pairing (build_*_adv_fused_pair): one batch -> one D + one
+            # G update; counted as TWO global steps to keep the reference's
+            # parity step accounting (checkpointing/max-steps cadences assume
+            # one update per step — use even cadences with fused pairing)
+            self._pair = jax.jit(pair_step, donate_argnums=(0, 1))
+        elif self.adversarial:
             if len(adv_steps) == 3:
                 # (g_step, feats_fn, update_fn) — split-D mode: the D step as
                 # two smaller XLA programs, bit-identical to the monolithic
@@ -243,7 +251,11 @@ class Trainer:
 
             lookahead.append(next(batches))
             b0 = lookahead[0]
-            if self.adversarial:
+            if self._pair is not None:
+                self._pair = self._pair.lower(
+                    self.g_state, self.d_state, self.frozen, b0, rng
+                ).compile()
+            elif self.adversarial:
                 self._g_step = self._g_step.lower(
                     self.g_state, self.d_state, self.frozen, b0, rng
                 ).compile()
@@ -343,7 +355,13 @@ class Trainer:
             _t1 = time.time()
             t_data += _t1 - _t0
 
-            if self.adversarial and self.global_step % 2 == 0:
+            step_inc = 1
+            if self._pair is not None:
+                self.g_state, self.d_state, metrics = self._pair(
+                    self.g_state, self.d_state, self.frozen, batch, rng
+                )
+                step_inc = 2  # one D + one G update (reference parity counting)
+            elif self.adversarial and self.global_step % 2 == 0:
                 # even parity trains D (ref `train_pcm_lora_sd15_adv.py:1374`)
                 self.d_state, metrics = self._d_step(
                     self.g_state, self.d_state, self.frozen, batch, rng
@@ -356,7 +374,7 @@ class Trainer:
                 self.g_state, metrics = self._step(self.g_state, self.frozen, batch, rng)
             t_dispatch += time.time() - _t1
 
-            self.global_step += 1
+            self.global_step += step_inc
             if self.global_step % cfg.log_every == 0:
                 from .prodigy import prodigy_d
 

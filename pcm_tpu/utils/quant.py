@@ -75,12 +75,19 @@ class QTensor:
         return self.astype(self.logical_dtype)
 
 
-def quantize(w: jnp.ndarray, axis: int = -1, logical_dtype=jnp.bfloat16) -> QTensor:
+def quantize(w: jnp.ndarray, axis: int = -1, logical_dtype=jnp.bfloat16,
+             stacked: bool = False) -> QTensor:
     """Per-channel symmetric int8 quantization along ``axis`` (the output-
     feature axis: -1 for both dense ``(in, out)`` and conv ``(H, W, I, O)``
-    kernels)."""
+    kernels). ``stacked`` keeps axis 0 unreduced as well — for scan-stacked
+    dense kernels ``(depth, in, out)`` each depth slice gets its own
+    per-channel scales (so the per-iteration slice inside lax.scan is exactly
+    a standalone QTensor of that block's kernel)."""
     w32 = jnp.asarray(w, jnp.float32)
-    amax = jnp.max(jnp.abs(w32), axis=tuple(i for i in range(w32.ndim) if i != axis % w32.ndim), keepdims=True)
+    keep = {axis % w32.ndim} | ({0} if stacked else set())
+    amax = jnp.max(jnp.abs(w32),
+                   axis=tuple(i for i in range(w32.ndim) if i not in keep),
+                   keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
     return QTensor(values=q, scale=scale, logical_dtype=jnp.dtype(logical_dtype))
@@ -88,12 +95,13 @@ def quantize(w: jnp.ndarray, axis: int = -1, logical_dtype=jnp.bfloat16) -> QTen
 
 def default_predicate(path: tuple, leaf, min_size: int = 65536) -> bool:
     """Quantize matmul/conv kernels only: leaves named ``kernel`` with
-    ndim 2 or 4 and ≥``min_size`` elements. Biases, norm scales, embeddings,
-    and tiny projections stay full precision."""
+    ndim 2 (dense), 3 (scan-stacked dense) or 4 (conv) and ≥``min_size``
+    elements. Biases, norm scales, embeddings, and tiny projections stay
+    full precision."""
     if isinstance(leaf, QTensor) or not hasattr(leaf, "ndim"):
         return False
     name = str(path[-1].key if hasattr(path[-1], "key") else path[-1]) if path else ""
-    return name == "kernel" and leaf.ndim in (2, 4) and leaf.size >= min_size
+    return name == "kernel" and leaf.ndim in (2, 3, 4) and leaf.size >= min_size
 
 
 def quantize_tree(
@@ -112,7 +120,8 @@ def quantize_tree(
 
     def visit(path, leaf):
         if pred(path, leaf):
-            return quantize(leaf, logical_dtype=logical_dtype)
+            return quantize(leaf, logical_dtype=logical_dtype,
+                            stacked=(leaf.ndim == 3))
         return leaf
 
     return jax.tree_util.tree_map_with_path(visit, tree)

@@ -81,6 +81,14 @@ def main():
                          "train_pcm_lora_sd15.py:1026-1033)")
     ap.add_argument("--lr-warmup-steps", type=int, default=0,
                     help="linear LR warmup steps (ref --lr_warmup_steps)")
+    ap.add_argument("--adv-pairing", default="fresh", choices=["fresh", "fused"],
+                    help="adversarial step pairing: 'fresh' (default) = the "
+                         "reference's alternation, D and G each on their own "
+                         "batch (train_pcm_lora_sdxl_adv.py:1482-1532); "
+                         "'fused' = one batch feeds both updates through a "
+                         "single prepare + joint backward (~2/3 the compute "
+                         "per pair, same update count; counts as 2 steps — "
+                         "use even step cadences)")
     ap.add_argument("--split-d", action="store_true",
                     help="compile the adversarial D step as two smaller XLA "
                          "programs (feature pass + head update; bit-identical "
@@ -372,11 +380,34 @@ def main():
         )
         tx_d = make_optimizer(recipe.adv_lr, b1=0.0, max_grad_norm=1.0)
         d_state = TrainState.create(d_params, tx_d)
-        steps = build_adv(
-            bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight), disc, tx_g, tx_d,
-            grad_accum_steps=accum,
-        )
-        if args.split_d:
+        if args.adv_pairing == "fused":
+            if args.split_d:
+                ap.error("--split-d applies to --adv-pairing fresh only "
+                         "(the fused pair is already one graph)")
+            from pcm_tpu.train.adv import (
+                build_ddim_adv_fused_pair,
+                build_flow_adv_fused_pair,
+            )
+
+            fused_builder = (
+                build_flow_adv_fused_pair if recipe.family == "sd3"
+                else build_ddim_adv_fused_pair
+            )
+            pair = fused_builder(
+                bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight),
+                disc, tx_g, tx_d, grad_accum_steps=accum,
+            )
+            trainer = Trainer(
+                loop_cfg, frozen, g_state, pair_step=pair, d_state=d_state,
+                mesh=mesh,
+            )
+            steps = None
+        else:
+            steps = build_adv(
+                bundle, schedule, recipe.distill, AdvConfig(recipe.adv_weight), disc, tx_g, tx_d,
+                grad_accum_steps=accum,
+            )
+        if steps is not None and args.split_d:
             if accum > 1:
                 ap.error("--split-d does not support gradient accumulation")
             from pcm_tpu.train.adv import (
@@ -393,9 +424,10 @@ def main():
                 disc, tx_d,
             )
             steps = (steps[0], feats_fn, update_fn)
-        trainer = Trainer(
-            loop_cfg, frozen, g_state, adv_steps=steps, d_state=d_state, mesh=mesh
-        )
+        if steps is not None:
+            trainer = Trainer(
+                loop_cfg, frozen, g_state, adv_steps=steps, d_state=d_state, mesh=mesh
+            )
     else:
         step_fn = build_plain(bundle, schedule, recipe.distill, tx_g, grad_accum_steps=accum)
         trainer = Trainer(loop_cfg, frozen, g_state, step_fn=step_fn, mesh=mesh)

@@ -387,3 +387,61 @@ def test_trainer_split_d_adv(image_dir, tmp_path):
     trainer.ckpt.close()
     # both sides actually trained (G on odd parity, D on even)
     assert int(g_state.step) >= 1 and int(d_state.step) >= 1
+
+
+def test_trainer_fused_pair_adv(image_dir, tmp_path):
+    """Trainer accepts pair_step= (fused D+G adversarial mode): each batch
+    advances global_step by 2 (reference parity counting) and trains both
+    players."""
+    from pcm_tpu.train.adv import (
+        AdvConfig,
+        Discriminator,
+        DiscriminatorConfig,
+        build_ddim_adv_fused_pair,
+        init_discriminator,
+    )
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=None,
+    )
+    bundle = SD15Bundle(
+        unet_cfg=TINY_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG, text_cfg=text_cfg,
+        lora=LoRASpec(rank=4, alpha=8.0, targets=SD_UNET_LORA_TARGETS), dtype=jnp.float32,
+    )
+    frozen, lora = bundle.init(jax.random.PRNGKey(0), IMG)
+    tx_g = make_optimizer(1e-3)
+    tx_d = make_optimizer(1e-3, b1=0.0)
+    cfg = DistillConfig(num_solver_steps=10, multiphase=2)
+    disc_cfg = DiscriminatorConfig(taps=("down_0", "down_1", "mid"), num_h_per_head=1)
+    disc = Discriminator(disc_cfg)
+    tok = HashTokenizer(vocab_size=1000, max_length=16, quiet=True)
+    cond = bundle.encode_prompts(frozen, jnp.asarray(tok([""])))
+    d_params = init_discriminator(disc, bundle, frozen, jax.random.PRNGKey(2), IMG // 8, cond)
+
+    pair = build_ddim_adv_fused_pair(
+        bundle, make_ddpm_schedule(), cfg, AdvConfig(0.1), disc, tx_g, tx_d
+    )
+
+    ds = ImageFolderDataset(image_dir, resolution=IMG)
+    loader = DataLoader(ds, 2, make_collate({"input_ids": tok}, IMG), num_workers=2)
+    uncond = bundle.encode_prompts(frozen, jnp.asarray(tok(["", ""])))
+
+    def extra(b):
+        b["uncond_embeds"] = uncond["prompt_embeds"]
+        return b
+
+    loop_cfg = LoopConfig(
+        output_dir=str(tmp_path / "run_fused"), max_train_steps=4,
+        checkpointing_steps=1000, validation_steps=1000, log_every=2,
+    )
+    trainer = Trainer(
+        loop_cfg, frozen, TrainState.create(lora, tx_g),
+        pair_step=pair,
+        d_state=TrainState.create(d_params, tx_d),
+    )
+    g_state, d_state = trainer.run(iter(loader), extra)
+    trainer.ckpt.close()
+    # 4 global steps = 2 fused pairs = 2 G updates + 2 D updates
+    assert trainer.global_step == 4
+    assert int(g_state.step) == 2 and int(d_state.step) == 2

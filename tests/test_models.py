@@ -287,3 +287,80 @@ def test_mmdit_forward_features_lora():
         n_checked += 1
         assert float(jnp.sum(jnp.abs(v))) > 0, f"zero grad for {key}"
     assert n_checked > 10
+
+
+def test_unet_scan_blocks_equivalence():
+    """scan_blocks (lax.scan over each Transformer2D's block stack) must
+    reproduce the unrolled forward and LoRA grads exactly, given the
+    unrolled params restacked into the scan layout
+    (`transformer_blocks_{i}/...` -> `blocks_scan/block/...` with a leading
+    depth axis). The scan layout exists to shrink the SDXL-1024 step's MLIR
+    below the axon compile helper's kill threshold (docs/ROUND5_NOTES.md)."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    from pcm_tpu.models.unet import TINY_SDXL_CONFIG
+
+    cfg = dataclasses.replace(TINY_SDXL_CONFIG, transformer_depth=(2, 3))
+    lora = LoRASpec(rank=2, alpha=4.0, targets=("to_q", "to_v", "net_0_proj"))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4), jnp.float32)
+    t = jnp.asarray([10.0, 500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 32), jnp.float32)
+    added = {
+        "text_embeds": jnp.zeros((2, 32), jnp.float32),
+        "time_ids": jnp.zeros((2, 6), jnp.float32),
+    }
+
+    base = UNet2DCondition(cfg, lora=lora)
+    bvars = base.init(rng, x, t, ctx, added_cond=added)
+    scanned = UNet2DCondition(cfg, lora=lora, scan_blocks=True)
+    svars = scanned.init(rng, x, t, ctx, added_cond=added)
+
+    def restack(base_tree, scan_tree):
+        flat_b = traverse_util.flatten_dict(base_tree)
+        flat_s = traverse_util.flatten_dict(scan_tree)
+        out = {}
+        for path in flat_s:
+            if "blocks_scan" in path:
+                i = path.index("blocks_scan")
+                depth = flat_s[path].shape[0]
+                stacked = [
+                    flat_b[path[:i] + (f"transformer_blocks_{d}",) + path[i + 2:]]
+                    for d in range(depth)
+                ]
+                out[path] = jnp.stack(stacked)
+            else:
+                out[path] = flat_b[path]
+        return traverse_util.unflatten_dict(out)
+
+    sparams = restack(bvars["params"], svars["params"])
+    slora = restack(bvars["lora"], svars["lora"])
+
+    def loss(mod, variables, lora_params):
+        out = mod.apply(
+            {"params": variables, "lora": lora_params}, x, t, ctx, added_cond=added
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    bl, bg = jax.jit(lambda lp: jax.value_and_grad(
+        lambda q: loss(base, bvars["params"], q))(lp))(bvars["lora"])
+    sl, sg = jax.jit(lambda lp: jax.value_and_grad(
+        lambda q: loss(scanned, sparams, q))(lp))(slora)
+
+    np.testing.assert_allclose(float(sl), float(bl), rtol=1e-5)
+    # compare grads leaf-by-leaf through the same restack mapping
+    sg_expected = restack(bg, sg)
+    for a, b in zip(jax.tree.leaves(sg_expected), jax.tree.leaves(sg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-4)
+
+    # remat inside the scan body must not change anything either
+    scanned_r = UNet2DCondition(
+        cfg, lora=lora, scan_blocks=True, remat=True, remat_policy="dots_small"
+    )
+    rl, rg = jax.jit(lambda lp: jax.value_and_grad(
+        lambda q: loss(scanned_r, sparams, q))(lp))(slora)
+    np.testing.assert_allclose(float(rl), float(bl), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(rg), jax.tree.leaves(sg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-4)

@@ -78,3 +78,29 @@ def test_distill_step_runs_with_int8_frozen():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state_q.params, state.params
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_quantize_stacked_per_depth_scales():
+    """Scan-stacked dense kernels (depth, in, out) quantize with per-(depth,
+    out) scales — each depth slice must equal the standalone quantization of
+    that block's 2-D kernel (so the per-iteration slice inside lax.scan is
+    exactly the unstacked QTensor)."""
+    import numpy as np
+
+    from pcm_tpu.utils.quant import default_predicate, quantize
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 16, 8) * np.asarray([0.1, 1.0, 10.0])[:, None, None],
+                    jnp.float32)
+    qs = quantize(w, stacked=True)
+    assert qs.scale.shape == (3, 1, 8)
+    for d in range(3):
+        q2 = quantize(w[d])
+        np.testing.assert_array_equal(np.asarray(qs.values[d]), np.asarray(q2.values))
+        np.testing.assert_allclose(np.asarray(qs.scale[d]), np.asarray(q2.scale))
+
+    # predicate accepts the stacked layout
+    class P:
+        key = "kernel"
+
+    assert default_predicate((P(),), jnp.zeros((3, 512, 512)))
