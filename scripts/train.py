@@ -117,6 +117,13 @@ def main():
                          "docs/PERF.md — bisect only). dense/fused also "
                          "apply to validation sampling (same dispatch "
                          "context for the whole run)")
+    ap.add_argument("--elementwise", default=None,
+                    choices=["pallas", "xla", "xla_gn"],
+                    help="force the GEGLU/GroupNorm implementation for every "
+                         "graph this run traces (ops/common.py dispatch). "
+                         "'xla' matches the SDXL bench headline graphs so "
+                         "the compile cache is shared with bench.py; default "
+                         "keeps the per-module measured defaults")
     ap.add_argument("--vae-encode-chunk", type=int, default=None,
                     help="VAE-encode this many samples at a time inside the "
                          "jitted step (default: 1 at >=1024px when batch>1 - "
@@ -534,14 +541,23 @@ def main():
 
             trainer.validation_fn = offloaded_val
 
+    import contextlib
+
+    run_ctx = contextlib.ExitStack()
     if args.int8_matmul in ("dense", "fused"):
         # trace-time dispatch flag: every QTensor dense dot traced inside
         # (train steps AND validation sampling) takes the int8 MXU path
         from pcm_tpu.utils.quant import int8_matmul
 
-        with int8_matmul(which=args.int8_matmul):
-            trainer.run(iter(loader), extra_batch_fn)
-    else:
+        run_ctx.enter_context(int8_matmul(which=args.int8_matmul))
+    if args.elementwise:
+        # GEGLU/GroupNorm dispatch for every graph traced in this run —
+        # matching the bench graphs' dispatch keeps the compile cache shared
+        # between `bench.py` and this CLI (same jaxpr -> same cache entry)
+        from pcm_tpu.ops.common import elementwise_impl
+
+        run_ctx.enter_context(elementwise_impl(args.elementwise))
+    with run_ctx:
         trainer.run(iter(loader), extra_batch_fn)
 
 
