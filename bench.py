@@ -667,8 +667,11 @@ def main():
         vs_baseline = float("nan")
     if np.isfinite(flops_per_step):
         mfu = flops_per_step / dt / 197e12  # v5e bf16 peak
+        scan_note = (" [UNDERCOUNT: cost analysis counts each lax.scan body "
+                     "once, not x depth — hw MFU is bogus for scanned graphs]"
+                     if args.scan_blocks else "")
         print(f"# flops/step={flops_per_step:.3e} (algo {algo_flops:.3e})  "
-              f"v5e MFU={mfu:.2%}", file=sys.stderr)
+              f"v5e MFU={mfu:.2%}{scan_note}", file=sys.stderr)
 
     _emit(
         f"{args.family} {args.resolution}px PCM-LoRA distill samples/sec/chip",
@@ -729,8 +732,10 @@ def main_adv_fused(args, frozen, g_state, steps, batch):
     print(f"# fused pair: {pair_dt*1000:.1f}ms  loss={g0:.4f} d_loss={d0:.4f}",
           file=sys.stderr)
     if np.isfinite(flops):
-        print(f"# flops/pair={flops:.3e}  v5e MFU={flops/pair_dt/197e12:.2%}",
-              file=sys.stderr)
+        scan_note = (" [UNDERCOUNT: scan bodies counted once]"
+                     if args.scan_blocks else "")
+        print(f"# flops/pair={flops:.3e}  v5e MFU={flops/pair_dt/197e12:.2%}"
+              f"{scan_note}", file=sys.stderr)
 
     eff_rank = min(args.lora_rank, 32) if args.family == "sd3" else args.lora_rank
     algo = ALGO_FLOPS_PER_SAMPLE.get((args.family, "train", args.resolution))

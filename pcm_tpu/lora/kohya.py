@@ -43,11 +43,29 @@ def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
     return tree
 
 
+def _expand_scanned(flat: Dict[Tuple[str, ...], Any]) -> Dict[Tuple[str, ...], Any]:
+    """Scan-stacked leaves (`.../blocks_scan/block/...` with a leading depth
+    axis, models/attention.py scan_blocks) -> the unrolled
+    `.../transformer_blocks_{d}/...` layout, so exports are identical
+    regardless of which graph layout trained them."""
+    out: Dict[Tuple[str, ...], Any] = {}
+    for path, v in flat.items():
+        if "blocks_scan" in path:
+            i = path.index("blocks_scan")
+            arr = np.asarray(v)
+            for d in range(arr.shape[0]):
+                out[path[:i] + (f"transformer_blocks_{d}",) + path[i + 2:]] = arr[d]
+        else:
+            out[path] = v
+    return out
+
+
 def to_kohya_state_dict(
     lora_tree: Dict[str, Any], alpha: float, prefix: str = "lora_unet"
 ) -> Dict[str, np.ndarray]:
-    """Our lora collection -> kohya-format numpy state dict."""
-    flat = _flatten(lora_tree)
+    """Our lora collection -> kohya-format numpy state dict. Scan-stacked
+    trees export identically to unrolled ones (`_expand_scanned`)."""
+    flat = _expand_scanned(_flatten(lora_tree))
     out: Dict[str, np.ndarray] = {}
     pairs: Dict[Tuple[str, ...], Dict[str, np.ndarray]] = {}
     for path, v in flat.items():
@@ -79,17 +97,34 @@ def from_kohya_state_dict(
     layers = sorted({p[:-1] for p in flat_t})
     out: Dict[Tuple[str, ...], jnp.ndarray] = {}
     alpha = float(rank)
-    for layer in layers:
-        key = prefix + "_" + "_".join(layer)
+
+    def read(key):
+        nonlocal alpha
         down = np.asarray(state[f"{key}.lora_down.weight"], np.float32)
         up = np.asarray(state[f"{key}.lora_up.weight"], np.float32)
         if f"{key}.alpha" in state:
             alpha = float(np.asarray(state[f"{key}.alpha"]))
         if down.ndim == 2:
-            a, b = down.T, up.T
-        else:
-            a = np.transpose(down, (2, 3, 1, 0))
-            b = np.transpose(up, (2, 3, 1, 0))
+            return down.T, up.T
+        return (np.transpose(down, (2, 3, 1, 0)),
+                np.transpose(up, (2, 3, 1, 0)))
+
+    for layer in layers:
+        if "blocks_scan" in layer:
+            # scan-stacked template: gather the unrolled per-block entries
+            # (the on-disk format is always the unrolled kohya naming)
+            i = layer.index("blocks_scan")
+            depth = int(flat_t[layer + ("a",)].shape[0])
+            stacked_a, stacked_b = [], []
+            for d in range(depth):
+                unrolled = layer[:i] + (f"transformer_blocks_{d}",) + layer[i + 2:]
+                a, b = read(prefix + "_" + "_".join(unrolled))
+                stacked_a.append(a)
+                stacked_b.append(b)
+            out[layer + ("a",)] = jnp.asarray(np.stack(stacked_a))
+            out[layer + ("b",)] = jnp.asarray(np.stack(stacked_b))
+            continue
+        a, b = read(prefix + "_" + "_".join(layer))
         out[layer + ("a",)] = jnp.asarray(a)
         out[layer + ("b",)] = jnp.asarray(b)
     return _unflatten(out), alpha

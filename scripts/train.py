@@ -139,6 +139,13 @@ def main():
                          "unet.py): 'block' (default) bounds the backward "
                          "peak to one BasicTransformerBlock; 'module' is the "
                          "historical whole-Transformer2D region")
+    ap.add_argument("--scan-blocks", action="store_true",
+                    help="lax.scan the UNet transformer stacks (one traced "
+                         "block per stack; models/unet.py scan_blocks) — "
+                         "several-fold smaller/faster compiles, matching the "
+                         "bench headline graphs. Kohya exports are identical "
+                         "either way (lora/kohya.py expands the scan layout); "
+                         "SD1.5/SDXL only")
     ap.add_argument("--tiny", action="store_true",
                     help="swap every model for its TINY_* config: a seconds-"
                          "long end-to-end smoke of the full CLI path (data, "
@@ -215,7 +222,8 @@ def main():
         bundle = sd15_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
                              tiny=args.tiny, vae_encode_chunk=enc_chunk,
                              vae_encode_shards=enc_shards,
-                             remat_granularity=args.remat_gran)
+                             remat_granularity=args.remat_gran,
+                             scan_blocks=args.scan_blocks)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SD15_DISC_CONFIG
@@ -224,12 +232,15 @@ def main():
         bundle = sdxl_bundle(recipe.lora_rank, remat=use_remat, remat_policy=policy,
                              tiny=args.tiny, vae_encode_chunk=enc_chunk,
                              vae_encode_shards=enc_shards,
-                             remat_granularity=args.remat_gran)
+                             remat_granularity=args.remat_gran,
+                             scan_blocks=args.scan_blocks)
         schedule = make_ddpm_schedule()
         build_plain, build_adv = build_ddim_distill_step, build_ddim_adv_steps
         disc_cfg = SDXL_DISC_CONFIG
         tok_keys = ["input_ids", "input_ids_2"]
     else:
+        if args.scan_blocks:
+            ap.error("--scan-blocks applies to the UNet families (sd15/sdxl)")
         bundle = sd3_bundle(recipe.lora_rank, adv_targets=recipe.adversarial,
                             remat=use_remat, remat_policy=policy,
                             stochastic=recipe.stochastic, tiny=args.tiny,

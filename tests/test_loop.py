@@ -445,3 +445,43 @@ def test_trainer_fused_pair_adv(image_dir, tmp_path):
     # 4 global steps = 2 fused pairs = 2 G updates + 2 D updates
     assert trainer.global_step == 4
     assert int(g_state.step) == 2 and int(d_state.step) == 2
+
+
+def test_kohya_scanned_layout_roundtrip():
+    """Scan-stacked lora trees (blocks_scan/block/... with leading depth axis)
+    must export to the SAME unrolled kohya names as the unrolled layout, and
+    import back into a scanned template losslessly — checkpoints are
+    layout-independent on disk."""
+    import numpy as np
+
+    from pcm_tpu.lora.kohya import from_kohya_state_dict, to_kohya_state_dict
+
+    rng = np.random.RandomState(0)
+    D, IN, R, OUT = 3, 8, 2, 8
+    a = rng.randn(D, IN, R).astype(np.float32)
+    b = rng.randn(D, R, OUT).astype(np.float32)
+    pa = rng.randn(IN, R).astype(np.float32)
+    pb = rng.randn(R, OUT).astype(np.float32)
+    scanned = {"down_blocks_1": {"attentions_0": {
+        "blocks_scan": {"block": {"attn1": {"to_q": {"a": a, "b": b}}}},
+        "proj_in": {"a": pa, "b": pb},
+    }}}
+    unrolled = {"down_blocks_1": {"attentions_0": {
+        **{f"transformer_blocks_{d}": {"attn1": {"to_q": {"a": a[d], "b": b[d]}}}
+           for d in range(D)},
+        "proj_in": {"a": pa, "b": pb},
+    }}}
+
+    sd_s = to_kohya_state_dict(scanned, alpha=8.0)
+    sd_u = to_kohya_state_dict(unrolled, alpha=8.0)
+    assert sorted(sd_s) == sorted(sd_u)
+    for k in sd_u:
+        np.testing.assert_array_equal(sd_s[k], sd_u[k])
+    assert any("transformer_blocks_2" in k for k in sd_s)
+
+    back, alpha = from_kohya_state_dict(sd_s, scanned, rank=R)
+    assert alpha == 8.0
+    np.testing.assert_allclose(
+        np.asarray(back["down_blocks_1"]["attentions_0"]["blocks_scan"]["block"]["attn1"]["to_q"]["a"]), a, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(back["down_blocks_1"]["attentions_0"]["proj_in"]["b"]), pb, rtol=1e-6)
