@@ -512,14 +512,20 @@ def main():
                          "custom-vjp kernels re-run their oracle forward under "
                          "remat, ~8 vs ~6 matmul-units/layer); module defaults "
                          "elsewhere (pallas in train graphs; ops/common.py)")
-    ap.add_argument("--scan-blocks", action="store_true",
+    ap.add_argument("--scan-blocks", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="lax.scan each Transformer2D's block stack (one "
                          "traced block per stack): several-fold smaller MLIR "
                          "and compile time — the enabler for policies whose "
                          "unrolled graphs SIGKILL the axon compile helper "
                          "(nothing+fa, dots16m+ at block gran). Implies "
                          "block-granular remat inside the scan; param layout "
-                         "is the stacked scan layout (bench-only trees)")
+                         "is the stacked scan layout. Default ON for the "
+                         "UNet families: measured perf-identical to the "
+                         "unrolled graph (1927.8 vs 1928.0 ms on the bs4 "
+                         "cached headline, 2026-08-20) with cold compile "
+                         "264 s vs 1378 s — --no-scan-blocks restores the "
+                         "unrolled trace")
     ap.add_argument("--remat-gran", default="module", choices=["module", "block"],
                     help="checkpoint boundary for the UNet transformer stacks: "
                          "'module' = one region per Transformer2D (historical "
@@ -586,6 +592,11 @@ def main():
         args.int8_matmul = "dense"
     if args.int8_matmul == "none":
         args.int8_matmul = None
+    if args.scan_blocks is None:
+        # scan the UNet transformer stacks by default (see --scan-blocks);
+        # MMDiT keeps the unrolled trace (its per-block feature taps feed the
+        # SD3 discriminator, and SD3 compiles are already ~4 min)
+        args.scan_blocks = args.family in ("sd15", "sdxl")
 
     if args.mode == "infer":
         return main_infer(args)

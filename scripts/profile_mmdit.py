@@ -75,12 +75,16 @@ def main():
 
     t("teacher fwd", teacher_fwd, frozen, x)
 
-    def student_loss(lo, xx):
-        out = bundle.student(frozen, lo, xx, ts, cond)
+    # NOTE: frozen must be an ARGUMENT everywhere — a closure would bake the
+    # 2.15 GB tree into the graph as constants and the remote-compile POST
+    # dies with a broken pipe.
+    def student_loss(fz, lo, xx):
+        out = bundle.student(fz, lo, xx, ts, cond)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    t("student fwd", lambda lo, xx: student_loss(lo, xx), lora, x)
-    t("student fwd+bwd", lambda lo, xx: jax.grad(student_loss)(lo, xx), lora, x)
+    t("student fwd", student_loss, frozen, lora, x)
+    t("student fwd+bwd", lambda fz, lo, xx: jax.grad(student_loss, argnums=1)(fz, lo, xx),
+      frozen, lora, x)
 
     # flash attention at the joint-sequence shape (24 heads x 64)
     seq = (lat // cfg.patch_size) ** 2 + 154
