@@ -114,6 +114,26 @@ def main():
     dflops = 10 * 2 * b * seq * cfg.inner_dim * cfg.inner_dim
     print(f"  -> {dflops/ms*1e-9:.1f} TFLOP/s")
 
+    # same chain but with int8-stored weights dequantized per use — isolates
+    # the QTensor dequant-materialization cost the int8 storage default pays
+    # on every forward (MMDiT frozen is ~2.3 GB int8 -> 4.6 GB bf16 per pass
+    # if XLA does not fuse the dequant into the dot)
+    from pcm_tpu.utils.quant import QTensor, quantize
+
+    # 10 DISTINCT stacked int8 weights (a single reused one would be CSE'd
+    # into one dequant and hide the per-layer cost)
+    ws = jnp.stack([w * (1.0 + 0.01 * i) for i in range(10)])
+    qs = quantize(ws, stacked=True)
+
+    def dense_chain_q(h, q):
+        for i in range(10):
+            wi = QTensor(q.values[i], q.scale[i], q.logical_dtype)
+            h = jnp.dot(h, wi.astype(jnp.bfloat16))
+        return h
+
+    ms = t("dense chain x10 (int8 deq)", dense_chain_q, h0, qs)
+    print(f"  -> {dflops/ms*1e-9:.1f} TFLOP/s")
+
     # AdaLN-style modulation chain (LN + scale/shift/gate), 10x
     g = jnp.asarray(rng.randn(b, cfg.inner_dim), jnp.bfloat16)
 
