@@ -54,6 +54,9 @@ def main():
     frozen, lora = device_init(bundle, seed=0, weights=args.weights)
     jax.block_until_ready(jax.tree_util.tree_leaves(lora)[:1])
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+    # drop the encoder towers (T5-XXL/CLIP/VAE, ~5.7 G) — only the MMDiT is
+    # profiled, and keeping them OOMs the remat-free fwd+bwd at bs1
+    frozen = {"mmdit": frozen["mmdit"]}
 
     cfg = bundle.mmdit_cfg
     b = args.batch
