@@ -56,6 +56,13 @@ REF_ASSUMED_MFU = 0.20  # see module docstring
 # Constants are calibrated at the family's default LoRA rank (CALIB_RANK).
 ALGO_FLOPS_PER_SAMPLE = {
     ("sdxl", "train", 1024): 3.267e13,
+    # SD3: the full remat-free step OOMs the chip (15.98G, both elementwise
+    # dispatches), so the constant is the sum of two remat-free measurements
+    # (2026-08-20): cached-workload bs1 remat=none cost analysis 2.962e13 +
+    # encoders-only graph 5.162e12 (scripts/encoder_flops.py). Same
+    # convention as the SDXL constant: pallas custom-call (flash-attention)
+    # flops are not counted by XLA cost analysis on either side.
+    ("sd3", "train", 1024): 3.478e13,
 }
 CALIB_RANK = {"sdxl": 64, "sd15": 64, "sd3": 32}
 
