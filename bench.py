@@ -141,7 +141,7 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
           adam: str = "8bit", weights: str = "bf16", mode: str = "train",
           init: str = "device", encode_chunk=None, remat_gran: str = "module",
           cached: bool = False, int8_scoped: bool = False,
-          scan_blocks: bool = False):
+          scan_blocks: bool = False, disc_bf16: bool = False):
     from pcm_tpu.configs.families import sd3_bundle, sd15_bundle, sdxl_bundle
     from pcm_tpu.core import make_ddpm_schedule, make_flow_schedule
     from pcm_tpu.train.distill import (
@@ -229,7 +229,8 @@ def build(family: str, resolution: int, batch: int, lora_rank: int, remat: str =
 
         disc_cfg = {"sd15": SD15_DISC_CONFIG, "sdxl": SDXL_DISC_CONFIG,
                     "sd3": SD3_DISC_CONFIG}[family]
-        disc = Discriminator(disc_cfg)
+        disc = Discriminator(disc_cfg, dtype=jnp.bfloat16 if disc_bf16
+                             else jnp.float32)
         latent_hw = resolution // 8
         ch = (bundle.unet_cfg if family != "sd3" else bundle.mmdit_cfg).in_channels
         cond0 = _bench_cond(bundle, family, frozen, 1)
@@ -504,6 +505,11 @@ def main():
                     help="adv mode: compile the D step monolithically or as "
                          "the split feature-pass + head-update pair "
                          "(--adv-pairing fresh only)")
+    ap.add_argument("--disc-dtype", default="f32", choices=["f32", "bf16"],
+                    help="adv mode: discriminator-head compute dtype. SD3's "
+                         "24 seq->grid taps in f32 are ~3.6G of head "
+                         "activations — the fused SD3 pair only fits with "
+                         "bf16 heads (GN stats and the hinge stay f32)")
     ap.add_argument("--adv-pairing", default=None, choices=["fused", "fresh"],
                     help="adv mode: 'fused' (default) = one batch feeds both "
                          "the D and G update via a single prepare + student "
@@ -619,7 +625,7 @@ def main():
         args.family, args.resolution, args.batch, args.lora_rank, args.remat, args.adam,
         args.weights, args.mode, args.init, args.encode_chunk, args.remat_gran,
         args.cached_latents, int8_scoped=(args.int8_matmul == "scoped"),
-        scan_blocks=args.scan_blocks,
+        scan_blocks=args.scan_blocks, disc_bf16=(args.disc_dtype == "bf16"),
     )
     if args.mode == "adv":
         if args.adv_pairing is None:
