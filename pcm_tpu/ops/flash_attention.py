@@ -7,14 +7,37 @@ backward split into a dK/dV kernel and a dQ kernel.
 
 Public API takes the projection layout ``(batch, seq, heads, head_dim)``;
 internally tensors are transposed to ``(batch, heads, seq, head_dim)`` so the
-last two block dims are the hardware-tiled (sublane, lane) pair. Row statistics
-(logsumexp, delta) use ``(batch, heads, seq, 1)`` arrays inside the kernels —
-the trailing singleton keeps the block legal and broadcasts for free — but are
-stored BETWEEN forward and backward as compact 3-D ``(batch, heads, seq)``
-arrays: a trailing-singleton f32 array in HBM is lane-padded 128x by XLA
-(measured: 480 KB of lse held as a 60 MB buffer per MMDiT block at 1024px,
-OOMing the SD3 adversarial step), so the padded view exists only transiently
-inside the fwd/bwd pallas calls.
+last two block dims are the hardware-tiled (sublane, lane) pair.
+
+d=64 efficiency notes (all models here use head_dim 64 except the VAE):
+- Tensors are fed to the kernels UNPADDED. Blocks span the full head_dim and
+  partial edge blocks along seq are handled by Mosaic (out-of-bounds reads are
+  masked in-kernel; out-of-bounds writes are dropped). The previous
+  implementation `jnp.pad`-ed head_dim 64 -> 128 and seq up to the block
+  multiple in HBM, which cost pad/slice kernels plus 2x HBM read traffic on
+  every operand; the MXU time is identical either way (Mosaic lane-pads
+  in-register), so the padding was pure memory-bandwidth waste.
+- The per-block padding masks (iota + compare + select over the full bq x bk
+  score block) are compiled out entirely when the block size divides the
+  sequence length -- the SDXL/SD1.5 self-attention shapes (4096, 1024, 256)
+  all divide, so they pay zero mask overhead.
+- Block sizes are chosen to minimize edge-block waste: SD3's joint seq 4250
+  used to round up to 5120 (1.45x the useful score FLOPs); bq=1088/bk=512
+  rounds to 4352 (1.049x). See `_block_sizes`.
+- Softmax runs in the exp2 domain: `exp(s*scale - m)` is computed as
+  `exp2(s*alpha - m2)` with `alpha = scale*log2(e)` folded into the single
+  post-matmul multiply (the VPU computes exp via exp2 + a multiply anyway, so
+  this deletes one full bq x bk multiply pass per block). The saved
+  logsumexp residual is therefore BASE-2 (`m2 + log2(l)`); it is consumed
+  only by the backward kernels here, which expect that convention.
+
+Row statistics (logsumexp, delta) use ``(batch, heads, seq, 1)`` arrays inside
+the kernels -- the trailing singleton keeps the block legal and broadcasts for
+free -- but are stored BETWEEN forward and backward as compact 3-D
+``(batch, heads, seq)`` arrays: a trailing-singleton f32 array in HBM is
+lane-padded 128x by XLA (measured: 480 KB of lse held as a 60 MB buffer per
+MMDiT block at 1024px, OOMing the SD3 adversarial step), so the padded view
+exists only transiently inside the fwd/bwd pallas calls.
 
 No masking modes beyond padding are implemented: the diffusion UNet/MMDiT and
 CLIP/T5 encoders in this framework use full bidirectional attention.
@@ -34,21 +57,44 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import interpret_default, round_up
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * LOG2E)
 
 
-def _block_sizes(sq: int, sk: int, dp: int,
+def _pick_block(s: int, cands, fallback_mult: int) -> int:
+    """Smallest-padding block from `cands`, largest block on ties.
+
+    For s below the smallest candidate the whole sequence is one block
+    (rounded to the tiling multiple). Measured on v5e (tune_attention.py):
+    1024-blocks beat 512 by ~26% fwd+bwd at seq 4096 when padding is equal,
+    but edge-block waste dominates when it isn't -- seq 4250 @ 1024 pads to
+    5120 (+45% score FLOPs) vs 4352 (+4.9%) with the picks below.
+    """
+    if s <= min(cands):
+        return round_up(s, fallback_mult)
+    best = None
+    for c in cands:
+        padded = ((s + c - 1) // c) * c
+        key = (padded, -c)
+        if best is None or key < best[1]:
+            best = (c, key)
+    return best[0]
+
+
+def _block_sizes(sq: int, sk: int, d: int,
                  block_q: Optional[int] = None, block_k: Optional[int] = None):
-    # Defaults measured on v5e with d=64 (scripts/tune_attention.py, fenced
-    # timing): at seq 4096 fwd+bwd 1024/1024 beats 512/512 by 26% (4.68 vs
-    # 6.30 ms) and fwd by 41%; seq 1024 and SD3-joint 4250 also prefer 1024.
-    # 2048-blocks exceed VMEM in the bwd kernels, and wide heads scale every
-    # VMEM buffer by dp/128 — the VAE's single 512-dim head (seq 16384) blows
-    # the 16MB scoped limit at 1024 blocks, so wide heads keep the measured-
-    # safe 512. Overridable per call.
-    default = 1024 if dp <= 128 else 512
-    bq = min(block_q or default, round_up(sq, 8))
-    bk = min(block_k or default, round_up(sk, 128))
-    return bq, bk
+    # Wide heads (the VAE's single 512-dim head, seq 16384) scale every VMEM
+    # buffer by d/128 and blow the 16MB scoped limit at 1024 blocks, so they
+    # keep the measured-safe 512 cap. Overridable per call.
+    if d > 128:
+        q_cands, k_cands = (512,), (512,)
+    else:
+        # bq is a sublane dim (mult of 16 for bf16); bk is the score block's
+        # lane dim (mult of 128). 1088 exists for seq 4250 -> 4352.
+        q_cands = (1024, 1088, 896, 768, 640, 512)
+        k_cands = (1024, 896, 768, 640, 512)
+    bq = block_q or _pick_block(sq, q_cands, 16)
+    bk = block_k or _pick_block(sk, k_cands, 128)
+    return min(bq, round_up(sq, 16)), min(bk, round_up(sk, 128))
 
 
 # ---------------------------------------------------------------------------
@@ -56,7 +102,8 @@ def _block_sizes(sq: int, sk: int, dp: int,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, sm_scale, sk, bk):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, alpha, sk, bk, mask_k):
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -69,19 +116,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
+    if mask_k:
+        # Edge k-blocks read out-of-bounds garbage (possibly NaN/Inf bit
+        # patterns): the score mask alone is not enough because the PV matmul
+        # contracts over bk and 0 * NaN = NaN — zero the garbage v rows too.
+        vrow = ki * bk + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(vrow < sk, v, 0)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * sm_scale
-    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < sk, s, NEG_INF)
+    s = s * alpha  # base-2 domain: exp(s*scale) == exp2(s*alpha)
+    if mask_k:
+        col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < sk, s, NEG_INF)
 
     m_prev = m_scr[:]
     l_prev = l_scr[:]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    corr = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(s - m_cur)
+    corr = jnp.exp2(m_prev - m_cur)
+    p = jnp.exp2(s - m_cur)
     l_cur = corr * l_prev + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -94,53 +148,49 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
         l = l_scr[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[:] + jnp.log(l_safe)
+        # base-2 logsumexp (consumed only by _bwd below)
+        lse_ref[0, 0] = m_scr[:] + jnp.log2(l_safe)
 
 
 def _fwd(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
-    """q/k/v in (b, h, s, d) layout; returns o (b,h,sq,d), lse (b,h,sq)."""
+    """q/k/v in (b, h, s, d) layout; returns o (b,h,sq,d), lse2 (b,h,sq)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    dp = round_up(d, 128)
-    bq, bk = _block_sizes(sq, sk, dp, block_q, block_k)
-    sq_p, sk_p = round_up(sq, bq), round_up(sk, bk)
+    bq, bk = _block_sizes(sq, sk, d, block_q, block_k)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, dp - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
-
-    grid = (b, h, sq_p // bq, sk_p // bk)
-    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, sk=sk, bk=bk)
+    grid = (b, h, pl.cdiv(sq, bq), pl.cdiv(sk, bk))
+    kernel = functools.partial(
+        _fwd_kernel, alpha=sm_scale * LOG2E, sk=sk, bk=bk, mask_k=(sk % bk != 0)
+    )
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-            pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
-            pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
             pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, dp), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq_p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, dp), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp)
-    # slice lane 0 -> compact (b, h, sq): the (b, h, sq_p, 1) pallas output is
-    # lane-padded 128x in HBM; keeping it as the residual (or letting remat
-    # copy it) wastes ~60 MB per attention call at seq 5120
-    return o[:, :, :sq, :d], lse[:, :, :sq, 0]
+    )(q, k, v)
+    # lane 0 -> compact (b, h, sq): a trailing-singleton f32 residual in HBM is
+    # lane-padded 128x by XLA (~60 MB per attention call at seq 5120)
+    return o, lse[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -150,9 +200,8 @@ def _fwd(q, k, v, sm_scale, interpret, block_q=None, block_k=None):
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-    *, sm_scale, sq, sk, bq, bk
+    *, alpha, sm_scale, sq, bq, mask_q
 ):
-    ki = pl.program_id(2)
     qi = pl.program_id(3)
     nq = pl.num_programs(3)
 
@@ -165,24 +214,31 @@ def _bwd_dkv_kernel(
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
-    lse = lse_ref[0, 0]  # (bq, 1)
+    lse = lse_ref[0, 0]  # (bq, 1), base-2
     delta = delta_ref[0, 0]  # (bq, 1)
+    if mask_q:
+        # Edge q-blocks carry garbage q/do/lse/delta rows. dv/dk contract
+        # over bq, so garbage q/do rows must be zeroed at load (0 * NaN = NaN
+        # in the dot) AND p/ds zeroed below (garbage lse can drive exp2 to
+        # inf, and 0-row * inf-p = NaN). Garbage k-COLS only pollute dk/dv
+        # rows beyond sk, which are dropped on write-back — no col mask.
+        qrow = (qi * bq + jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)) < sq
+        q = jnp.where(qrow, q, 0)
+        do = jnp.where(qrow, do, 0)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
-    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    p = jnp.exp(s - lse)
-    p = jnp.where((col < sk) & (row < sq), p, 0.0)
+    ) * alpha
+    p = jnp.exp2(s - lse)
+    ds = p * (dp_minus_delta(do, v, delta)) * sm_scale
+    if mask_q:
+        row = (qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)) < sq
+        p = jnp.where(row, p, 0.0)
+        ds = jnp.where(row, ds, 0.0)
 
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta) * sm_scale
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -193,9 +249,16 @@ def _bwd_dkv_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def dp_minus_delta(do, v, delta):
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dp - delta
+
+
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
-    *, sm_scale, sq, sk, bq, bk
+    *, alpha, sm_scale, sk, bk, mask_k
 ):
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -210,17 +273,22 @@ def _bwd_dq_kernel(
     do = do_ref[0, 0]
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
+    if mask_k:
+        # Edge k-blocks carry garbage k/v rows. dq contracts over bk, so
+        # garbage k rows are zeroed at load (0 * NaN = NaN in the dot); the
+        # ds col mask below kills the garbage-dp (from garbage v) columns.
+        krow = (ki * bk + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)) < sk
+        k = jnp.where(krow, k, 0)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
-    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    p = jnp.exp(s - lse)
-    p = jnp.where(col < sk, p, 0.0)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta) * sm_scale
+    ) * alpha
+    p = jnp.exp2(s - lse)
+    ds = p * (dp_minus_delta(do, v, delta)) * sm_scale
+    if mask_k:
+        col = (ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)) < sk
+        ds = jnp.where(col, ds, 0.0)
+
     dq_scr[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -231,89 +299,79 @@ def _bwd_dq_kernel(
 
 
 def _bwd(sm_scale, interpret, block_q, block_k, res, g):
-    q, k, v, o, lse = res  # q/k/v/o (b, h, s, d); lse compact (b, h, sq)
+    q, k, v, o, lse = res  # q/k/v/o (b, h, s, d); lse compact (b, h, sq), base-2
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    dp = round_up(d, 128)
-    bq, bk = _block_sizes(sq, sk, dp, block_q, block_k)
-    sq_p, sk_p = round_up(sq, bq), round_up(sk, bk)
+    bq, bk = _block_sizes(sq, sk, d, block_q, block_k)
+    alpha = sm_scale * LOG2E
 
     g = g.astype(q.dtype)
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )  # (b, h, sq)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, dp - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
-    dop = jnp.pad(g, ((0, 0), (0, 0), (0, sq_p - sq), (0, dp - d)))
-    # +inf pad drives p -> exp(-inf) = 0 for padded q rows (rows are also
-    # masked explicitly in the dkv kernel). The trailing singleton (and its
-    # 128x lane padding) is materialized only here, transiently, as the
-    # kernels' (1, 1, bq, 1)-blocked inputs.
-    lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)),
-                   constant_values=np.inf)[..., None]
-    deltap = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))[..., None]
+    # The trailing singleton (and its 128x lane padding) is materialized only
+    # here, transiently, as the kernels' (1, 1, bq, 1)-blocked inputs.
+    lsep = lse[..., None]
+    deltap = delta[..., None]
 
-    def q_spec(seq_block, last):
-        return pl.BlockSpec((1, 1, seq_block, last), lambda b_, h_, i, j: (b_, h_, i, 0))
+    mask_q = sq % bq != 0
+    mask_k = sk % bk != 0
 
     dkv_in_specs = [
-        pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, ki, qi: (b_, h_, qi, 0)),  # q
-        pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),  # k
-        pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),  # v
-        pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, ki, qi: (b_, h_, qi, 0)),  # do
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, ki, qi: (b_, h_, qi, 0)),  # q
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),  # k
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),  # v
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, ki, qi: (b_, h_, qi, 0)),  # do
         pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, ki, qi: (b_, h_, qi, 0)),  # lse
         pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, ki, qi: (b_, h_, qi, 0)),  # delta
     ]
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, sq=sq, sk=sk, bq=bq, bk=bk),
-        grid=(b, h, sk_p // bk, sq_p // bq),
+        functools.partial(_bwd_dkv_kernel, alpha=alpha, sm_scale=sm_scale,
+                          sq=sq, bq=bq, mask_q=mask_q),
+        grid=(b, h, pl.cdiv(sk, bk), pl.cdiv(sq, bq)),
         in_specs=dkv_in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),
-            pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, ki, qi: (b_, h_, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sk_p, dp), k.dtype),
-            jax.ShapeDtypeStruct((b, h, sk_p, dp), v.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bk, dp), jnp.float32),
-            pltpu.VMEM((bk, dp), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(q, k, v, g, lsep, deltap)
 
     dq_in_specs = [
-        pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # q
-        pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),  # k
-        pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),  # v
-        pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # do
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # q
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),  # k
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),  # v
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # do
         pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # lse
         pl.BlockSpec((1, 1, bq, 1), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # delta
     ]
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, sq=sq, sk=sk, bq=bq, bk=bk),
-        grid=(b, h, sq_p // bq, sk_p // bk),
+        functools.partial(_bwd_dq_kernel, alpha=alpha, sm_scale=sm_scale,
+                          sk=sk, bk=bk, mask_k=mask_k),
+        grid=(b, h, pl.cdiv(sq, bq), pl.cdiv(sk, bk)),
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, dp), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(q, k, v, g, lsep, deltap)
 
-    return (
-        dq[:, :, :sq, :d],
-        dk[:, :, :sk, :d],
-        dv[:, :, :sk, :d],
-    )
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
